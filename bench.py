@@ -1,0 +1,87 @@
+"""Headline benchmark: GGS tokens sampled/sec/chip at 20NG-scale, K=100.
+
+Matches the BASELINE.json driver metric ("tokens sampled/sec/chip at 20NG
+K=100"). The real 20-Newsgroups file is stripped from the reference snapshot
+(/root/reference/.MISSING_LARGE_BLOBS), so the corpus is synthesised to 20NG
+statistics: D=11,269 docs, V=20,000 types, mean doc length ~120 tokens
+(N≈1.35M), Zipf-distributed types — same shapes, same memory/gather
+behaviour.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor is
+a generous estimate of the Java GGS sampler's throughput on a 16-core
+workstation: dense K=100 inverse-CDF z-draws at ~1.2M tokens/s/core
+(~200 cycles/token incl. RNG + atomic delta updates) × 16 threads ≈ 20M
+tokens/s. vs_baseline = tokens_per_sec / 20e6, i.e. 1.0 == estimated Java
+parity on ONE chip.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+JAVA_GGS_TOKENS_PER_SEC_ESTIMATE = 20e6
+
+D, V, K = 11269, 20000, 100
+MEAN_LEN = 120
+ITERS_WARMUP, ITERS_MEASURED = 3, 10
+
+
+def synth_corpus(seed=0):
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    rng = np.random.default_rng(seed)
+    lengths = np.maximum(5, rng.poisson(MEAN_LEN, D)).astype(np.int64)
+    n = int(lengths.sum())
+    # Zipf-ish type distribution over V types
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    probs = 1.0 / ranks ** 1.1
+    probs /= probs.sum()
+    tokens = rng.choice(V, size=n, p=probs).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    return Corpus(tokens=tokens, doc_offsets=offsets,
+                  vocab=[f"w{i}" for i in range(V)])
+
+
+def main():
+    import jax
+
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
+
+    corpus = synth_corpus()
+    cfg = LDAConfig(scheme="ggs", topics=K, alpha=0.5, beta=0.01, seed=2019,
+                    exec_time=-1, token_block=1 << 15)
+    model = LDAGroupedGibbsSampler(cfg)
+    model.add_instances(corpus)
+    step = model._get_step_jit()
+    doc_mask = np.ones(corpus.num_docs, bool)
+    import jax.numpy as jnp
+    dm = jnp.asarray(doc_mask)
+
+    state = model.state
+    for _ in range(ITERS_WARMUP):
+        state = step(state, dm, None)
+    jax.block_until_ready(state.z)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS_MEASURED):
+        state = step(state, dm, None)
+    jax.block_until_ready(state.z)
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = corpus.num_tokens * ITERS_MEASURED / dt
+    print(json.dumps({
+        "metric": "GGS tokens sampled/sec/chip (synthetic 20NG, K=100)",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_sec
+                             / JAVA_GGS_TOKENS_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""The on-device corpus representation.
+
+Replaces MALLET `InstanceList`/`FeatureSequence`/`Alphabet` with flat NumPy
+ragged arrays (SURVEY.md §7 step 1):
+
+    tokens[N]        int32   token type ids, documents concatenated
+    doc_offsets[D+1] int64   doc d spans tokens[doc_offsets[d]:doc_offsets[d+1]]
+    vocab[V]         str     id -> surface form  (the data alphabet)
+    labels[D], doc_ids[D]    per-document metadata (the target alphabet)
+
+Two device layouts are derived from this:
+  - flat token-major (`token_doc_ids`, padded to a block multiple) for
+    samplers whose token draws are independent given (theta, phi) — GGS;
+  - padded doc-major [D, L_max] (`to_padded`) for samplers with an intra-
+    document sequential dependency — PCGS/CGS/ADLDA — where the sweep is a
+    `lax.scan` over token position vectorised across documents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Corpus:
+    tokens: np.ndarray                 # int32 [N]
+    doc_offsets: np.ndarray            # int64 [D+1]
+    vocab: list[str]
+    labels: list[str] = field(default_factory=list)
+    doc_ids: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.tokens = np.asarray(self.tokens, np.int32)
+        self.doc_offsets = np.asarray(self.doc_offsets, np.int64)
+        assert self.doc_offsets[0] == 0
+        assert self.doc_offsets[-1] == len(self.tokens)
+
+    # ---- sizes ---------------------------------------------------------
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_offsets) - 1
+
+    @property
+    def num_types(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def num_tokens(self) -> int:
+        return int(len(self.tokens))
+
+    def doc_lengths(self) -> np.ndarray:
+        return np.diff(self.doc_offsets).astype(np.int32)
+
+    # ---- device layouts ------------------------------------------------
+    def token_doc_ids(self) -> np.ndarray:
+        """doc id of every token, int32 [N]."""
+        return np.repeat(np.arange(self.num_docs, dtype=np.int32),
+                         self.doc_lengths())
+
+    def flat_padded(self, block: int = 1):
+        """(tokens, doc_ids, mask) padded to a multiple of `block` so jitted
+        shapes stay static across corpora of similar size."""
+        n = self.num_tokens
+        n_pad = ((n + block - 1) // block) * block if block > 1 else n
+        tokens = np.zeros(n_pad, np.int32)
+        doc_ids = np.zeros(n_pad, np.int32)
+        mask = np.zeros(n_pad, bool)
+        tokens[:n] = self.tokens
+        doc_ids[:n] = self.token_doc_ids()
+        mask[:n] = True
+        return tokens, doc_ids, mask
+
+    def to_padded(self, length_multiple: int = 8):
+        """Doc-major padded layout: (w[D, L], mask[D, L]) with L rounded up to
+        `length_multiple` (TPU sublane alignment)."""
+        lengths = self.doc_lengths()
+        lmax = int(lengths.max()) if len(lengths) else 1
+        lmax = ((lmax + length_multiple - 1) // length_multiple
+                ) * length_multiple
+        w = np.zeros((self.num_docs, lmax), np.int32)
+        mask = np.zeros((self.num_docs, lmax), bool)
+        for d in range(self.num_docs):
+            s, e = self.doc_offsets[d], self.doc_offsets[d + 1]
+            w[d, : e - s] = self.tokens[s:e]
+            mask[d, : e - s] = True
+        return w, mask
+
+    def type_frequencies(self) -> np.ndarray:
+        """Corpus frequency of each type (used by Mandelbrot/Proportional
+        topic-index builders and TF-IDF)."""
+        return np.bincount(self.tokens, minlength=self.num_types
+                           ).astype(np.int64)
+
+    def document_frequencies(self) -> np.ndarray:
+        """Number of docs containing each type (for TF-IDF / BM25)."""
+        df = np.zeros(self.num_types, np.int64)
+        for d in range(self.num_docs):
+            s, e = self.doc_offsets[d], self.doc_offsets[d + 1]
+            df[np.unique(self.tokens[s:e])] += 1
+        return df
+
+    def subset(self, doc_indices) -> "Corpus":
+        """New Corpus restricted to the given documents (same vocabulary)."""
+        doc_indices = np.asarray(doc_indices)
+        parts = [self.tokens[self.doc_offsets[d]:self.doc_offsets[d + 1]]
+                 for d in doc_indices]
+        lengths = [len(p) for p in parts]
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+        return Corpus(
+            tokens=np.concatenate(parts) if parts else np.zeros(0, np.int32),
+            doc_offsets=offsets,
+            vocab=self.vocab,
+            labels=[self.labels[d] for d in doc_indices] if self.labels else [],
+            doc_ids=[self.doc_ids[d] for d in doc_indices]
+            if self.doc_ids else [],
+        )
+
+    @staticmethod
+    def from_token_lists(doc_tokens: list[list[int]], vocab: list[str],
+                         labels=None, doc_ids=None) -> "Corpus":
+        lengths = [len(d) for d in doc_tokens]
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+        flat = (np.concatenate([np.asarray(d, np.int32) for d in doc_tokens])
+                if sum(lengths) else np.zeros(0, np.int32))
+        return Corpus(tokens=flat, doc_offsets=offsets, vocab=list(vocab),
+                      labels=list(labels or []), doc_ids=list(doc_ids or []))

@@ -1,0 +1,65 @@
+"""ADLDA — Approximate Distributed LDA (Newman et al. 2009), scheme `adlda`.
+
+Reference: topics/ADLDA.java (955 LoC) + topics/MyWorkerRunnable.java: the
+global typeTopicCounts/tokensPerTopic are copied into per-thread replicas
+(ADLDA.java:176-210), each worker runs a *collapsed* sparse sweep over its
+document shard against its (increasingly stale) replica, then the replicas
+are merged (`sumTypeTopicCounts`, :302) and re-broadcast (:306-332) once per
+iteration.
+
+TPU-first mapping (SURVEY.md §2.2 P4): the "replica" is the replicated
+N_kw/n_k tensor, the "merge + re-broadcast" is the count rebuild (psum over
+the doc-sharded mesh when running multi-chip — see parallel/sharding.py).
+Staleness contract: the reference's workers update their local replica
+token-by-token within the sweep; here N_kw/n_k stay fixed for the whole sweep
+(each token still *excludes its own count* via the self-correction term, and
+n_dk updates token-by-token within each document exactly like the
+reference). Both designs are members of the same AD-LDA approximation family
+— counts are out-of-date by at most one sweep — and converge to
+indistinguishable stationary behaviour (Newman et al. §4); the TPU variant
+trades the JVM's shared-memory locality for full vectorisation across
+documents.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
+from ldagroupedgibbssampler_tpu.ops import counts as count_ops
+from ldagroupedgibbssampler_tpu.ops import random as rnd
+from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
+
+_EPS = 1e-30
+
+
+class ADLDA(TpuLDASampler):
+    layout = "doc_major"
+    smooth_phi = True
+
+    def _step(self, state: LDAState, doc_mask: jax.Array,
+              type_mask) -> LDAState:
+        cfg = self.config
+        k_z, k_phi, k_next = jax.random.split(state.key, 3)
+        num_types = self.corpus.num_types
+        # Collapsed word term against sweep-stale global counts:
+        # log(beta + N_kw) - log(V beta + n_k), precomputed [V, K].
+        word_logits_t = (
+            jnp.log(state.beta + state.nkw.T.astype(jnp.float32) + _EPS)
+            - jnp.log(state.beta * num_types
+                      + state.nk.astype(jnp.float32))[None, :])
+        ndk, z = doc_sequential_sweep(
+            k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
+            word_logits_t, state.alpha, doc_mask,
+            self_correction=(state.nkw, state.nk, state.beta))
+        # The AD-LDA merge: rebuild global counts from all shards' z.
+        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                          cfg.topics, num_types)
+        # phi is not part of the collapsed chain; keep an augmented draw so
+        # diagnostics (log posterior, phi means) have the same surface as the
+        # reference's estimate() diagnostics block (ADLDA.java:405-515).
+        phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + state.beta)
+        return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
+                              nk=count_ops.tokens_per_topic(nkw), phi=phi,
+                              iteration=state.iteration + 1)

@@ -1,0 +1,483 @@
+"""Sampler base: functional state + the reference's run-lifecycle API.
+
+The reference defines `LDAGibbsSampler` (topics/LDAGibbsSampler.java:10-46)
+with `addInstances / sample(iterations) / getters / lifecycle hooks`, extended
+by `LDASamplerWithPhi` (topics/LDASamplerWithPhi.java:5-12) and
+`AbortableSampler` (topics/AbortableSampler.java:3-6). `TpuLDASampler`
+provides that whole surface.
+
+TPU-first redesign: where the reference mutates shared Java arrays from
+thread pools, here per-iteration sampler state is an immutable `LDAState`
+pytree and each scheme supplies a pure jitted `_step(state, doc_mask,
+type_mask) -> state`. The Python-level `sample()` loop mirrors
+`UncollapsedParallelLDA.sample` (topics/UncollapsedParallelLDA.java:552-943):
+lifecycle hooks, wall-clock budget, abort-file polling, likelihood /
+posterior / held-out series, phi-mean accumulation with burn-in + thinning,
+hyperparameter optimisation — but every hot operation stays on device.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
+from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+from ldagroupedgibbssampler_tpu.evaluation.hyperopt import (
+    learn_dirichlet_parameters, learn_symmetric_concentration)
+from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+    log_posterior, matrix_density, model_log_likelihood)
+from ldagroupedgibbssampler_tpu.evaluation.topwords import top_words
+from ldagroupedgibbssampler_tpu.models import randomscan
+from ldagroupedgibbssampler_tpu.ops import counts as count_ops
+from ldagroupedgibbssampler_tpu.ops import random as rnd
+from ldagroupedgibbssampler_tpu.utils.timing import IterationStats
+
+
+class LDAState(NamedTuple):
+    """One immutable snapshot of the Markov chain.
+
+    Field map to the reference's mutable state (UncollapsedParallelLDA.java):
+      z     <- per-token topic indicators (TopicAssignment sequences)
+      ndk   <- document-topic counts  (ModifiedSimpleLDA docTopicCounts)
+      nkw   <- topicTypeCountMapping[K][V] (:108); the V×K transpose
+               `typeTopicCounts` is just nkw.T here — no second copy
+      nk    <- tokensPerTopic (:373-375)
+      phi   <- phi[K][V] (:69)
+      theta <- GGS thetaMatrix[D][K] (LDAGroupedGibbsSampler.java:33-37);
+               None for schemes that integrate theta out
+      alpha/beta <- hyperparameters (device scalars so hyperopt never
+               triggers recompilation)
+    """
+    key: jax.Array
+    z: jax.Array
+    ndk: jax.Array
+    nkw: jax.Array
+    nk: jax.Array
+    phi: jax.Array
+    theta: Optional[jax.Array]
+    alpha: jax.Array
+    beta: jax.Array
+    iteration: jax.Array
+
+
+class TpuLDASampler:
+    """Base class for all schemes. Subclasses set `layout` ("flat" or
+    "doc_major") and implement `_step`."""
+
+    layout = "flat"
+    # Whether phi rows are drawn with beta smoothing (LDAPartiallyCollapsed
+    # GibbsSampler.java:95-118 fixes the unsmoothed draw flagged at
+    # UncollapsedParallelLDA.java:1313-1315).
+    smooth_phi = True
+
+    def __init__(self, config: LDAConfig, logger=None):
+        self.config = config
+        self.logger = logger
+        self.corpus: Optional[Corpus] = None
+        self.test_corpus: Optional[Corpus] = None
+        self.state: Optional[LDAState] = None
+        self._abort = False
+        self._ll_history: list = []          # (iteration, ll)
+        self._held_out_history: list = []
+        self._phi_mean = None
+        self._phi_mean_count = 0
+        self._step_jit = None
+        self._iteration_listeners = []       # tui/IterationListener.java:5-7
+        self.doc_batch_builder = None
+        self.topic_index_builder = None
+
+    # ------------------------------------------------------------------
+    # data loading (LDAGibbsSampler.addInstances / addTestInstances)
+    # ------------------------------------------------------------------
+    def add_instances(self, corpus: Corpus, key: jax.Array | None = None):
+        """Random z init + count build (ModifiedSimpleLDA.addInstances
+        :939-969 draws each token's initial topic uniformly)."""
+        self.corpus = corpus
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(cfg.effective_seed())
+        self._prepare_device_data(corpus)
+        self.state = self._init_state(key)
+        self.doc_batch_builder = randomscan.make_document_batch_builder(
+            cfg, corpus.num_docs)
+        self.topic_index_builder = randomscan.make_topic_index_builder(
+            cfg, corpus)
+        return self
+
+    def add_test_instances(self, corpus: Corpus):
+        self.test_corpus = corpus
+        return self
+
+    def _prepare_device_data(self, corpus: Corpus):
+        cfg = self.config
+        if self.layout == "flat":
+            w, doc_ids, mask = corpus.flat_padded(cfg.token_block)
+            self.w = jnp.asarray(w)
+            self.doc_ids = jnp.asarray(doc_ids)
+            self.mask = jnp.asarray(mask)
+        else:
+            w_pad, mask_pad = corpus.to_padded(cfg.doc_length_multiple)
+            self.w_pad = jnp.asarray(w_pad)
+            self.mask_pad = jnp.asarray(mask_pad)
+
+    # ------------------------------------------------------------------
+    # state init
+    # ------------------------------------------------------------------
+    def _alpha_vector(self) -> jnp.ndarray:
+        return jnp.full((self.config.topics,), self.config.alpha, jnp.float32)
+
+    def _init_state(self, key: jax.Array) -> LDAState:
+        cfg, corpus = self.config, self.corpus
+        num_topics, num_types = cfg.topics, corpus.num_types
+        k_z, k_phi, k_theta, k_next = jax.random.split(key, 4)
+        if self.layout == "flat":
+            z = jax.random.randint(k_z, self.w.shape, 0, num_topics,
+                                   dtype=jnp.int32)
+            z = jnp.where(self.mask, z, 0)
+            nkw = count_ops.topic_word_counts(z, self.w, self.mask,
+                                              num_topics, num_types)
+            ndk = count_ops.doc_topic_counts(z, self.doc_ids, self.mask,
+                                             corpus.num_docs, num_topics)
+        else:
+            z = jax.random.randint(k_z, self.w_pad.shape, 0, num_topics,
+                                   dtype=jnp.int32)
+            z = jnp.where(self.mask_pad, z, 0)
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              num_topics, num_types)
+            ndk = count_ops.padded_doc_topic_counts(z, self.mask_pad,
+                                                    num_topics)
+        alpha = self._alpha_vector()
+        beta = jnp.float32(cfg.beta)
+        phi = self._initial_phi(k_phi, nkw, beta)
+        theta = self._initial_theta(k_theta, ndk, alpha)
+        return LDAState(key=k_next, z=z, ndk=ndk, nkw=nkw,
+                        nk=count_ops.tokens_per_topic(nkw), phi=phi,
+                        theta=theta, alpha=alpha, beta=beta,
+                        iteration=jnp.int32(0))
+
+    def _initial_phi(self, key, nkw, beta):
+        return rnd.dirichlet(key, nkw.astype(jnp.float32)
+                             + (beta if self.smooth_phi else 0.0)
+                             + (0.0 if self.smooth_phi else 1e-3))
+
+    def _initial_theta(self, key, ndk, alpha):
+        return None  # only GGS carries theta in state
+
+    # ------------------------------------------------------------------
+    # the per-iteration transition — implemented by each scheme
+    # ------------------------------------------------------------------
+    def _step(self, state: LDAState, doc_mask: jax.Array,
+              type_mask: jax.Array) -> LDAState:
+        raise NotImplementedError
+
+    def _get_step_jit(self):
+        if self._step_jit is None:
+            self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+        return self._step_jit
+
+    # ------------------------------------------------------------------
+    # main loop (UncollapsedParallelLDA.sample:552-943)
+    # ------------------------------------------------------------------
+    def sample(self, iterations: int | None = None):
+        cfg = self.config
+        iterations = iterations or cfg.iterations
+        assert self.state is not None, "call add_instances first"
+        step = self._get_step_jit()
+        deadline = time.time() + cfg.exec_time if cfg.exec_time > 0 else None
+        self.pre_sample()
+        start_iter = int(self.state.iteration)
+        for it in range(start_iter + 1, start_iter + iterations + 1):
+            t0 = time.perf_counter()
+            self.pre_iteration()
+            doc_mask = jnp.asarray(self.doc_batch_builder.doc_mask(it))
+            type_mask = jnp.asarray(self.topic_index_builder.type_mask(
+                it, self._delta_types()))
+            self.pre_z()
+            prev_nkw = self.state.nkw if self._needs_delta() else None
+            self.state = step(self.state, doc_mask, type_mask)
+            self.post_z()
+            self.post_phi()
+            if prev_nkw is not None:
+                self._last_delta_types = np.asarray(
+                    jnp.any(self.state.nkw != prev_nkw, axis=0))
+            if cfg.paranoid:
+                self._paranoid_checks()
+            self._periodic_logging(it, t0)
+            self._accumulate_phi_mean(it, iterations)
+            if (cfg.hyperparam_optim_interval > 0
+                    and it % cfg.hyperparam_optim_interval == 0):
+                self._optimize_hyperparameters()
+            self.post_iteration()
+            for listener in self._iteration_listeners:
+                listener(self, it)
+            # cooperative abort: flag or an `abort` file in CWD
+            # (UncollapsedParallelLDA.java:131,908-910)
+            if self._abort or os.path.exists("abort"):
+                break
+            if deadline is not None and time.time() > deadline:
+                break
+        jax.block_until_ready(self.state.z)
+        self.post_sample()
+        return self
+
+    # ------------------------------------------------------------------
+    # lifecycle hooks (LDAGibbsSampler.java:10-46) — overridable no-ops
+    # ------------------------------------------------------------------
+    def pre_sample(self): pass
+    def post_sample(self): pass
+    def pre_iteration(self): pass
+    def post_iteration(self): pass
+    def pre_z(self): pass
+    def post_z(self): pass
+    def pre_phi(self): pass
+    def post_phi(self): pass
+
+    def add_iteration_listener(self, fn):
+        self._iteration_listeners.append(fn)
+
+    # ------------------------------------------------------------------
+    # periodic work inside the loop
+    # ------------------------------------------------------------------
+    def _needs_delta(self) -> bool:
+        return isinstance(self.topic_index_builder,
+                          randomscan.DeltaNTopicIndexBuilder) or isinstance(
+            self.topic_index_builder,
+            randomscan.MixedMandelbrotDeltaNTopicIndexBuilder)
+
+    def _delta_types(self):
+        return getattr(self, "_last_delta_types", None)
+
+    def _periodic_logging(self, it: int, t0: float):
+        cfg = self.config
+        interval = cfg.topic_interval
+        if interval is None or interval <= 0 or it % interval != 0:
+            return
+        st = self.state
+        stats = IterationStats(iteration=it,
+                               total_ms=(time.perf_counter() - t0) * 1e3)
+        if cfg.compute_likelihood:
+            ll = float(model_log_likelihood(st.ndk, st.nkw, st.alpha,
+                                            float(st.beta)))
+            self._ll_history.append((it, ll))
+            if self.logger:
+                self.logger.log_likelihood(it, ll)
+        if cfg.start_diagnostic > 0 and it >= cfg.start_diagnostic:
+            theta = st.theta if st.theta is not None else \
+                self.get_theta_estimate()
+            lp = float(log_posterior(st.ndk, st.nkw, theta, st.phi, st.alpha,
+                                     float(st.beta)))
+            if self.logger:
+                self.logger.log_posterior(it, lp)
+        if self.test_corpus is not None:
+            hll = self._held_out_log_likelihood()
+            self._held_out_history.append((it, hll))
+            if self.logger:
+                self.logger.log_held_out_ll(it, hll)
+        if self.logger:
+            if cfg.log_type_topic_density:
+                stats.density_nkw = float(matrix_density(st.nkw))
+            if cfg.log_document_density:
+                stats.density_ndk = float(matrix_density(st.ndk))
+            if cfg.log_phi_density:
+                stats.density_phi = float(matrix_density(st.phi))
+            self.logger.log_stats_row(stats.as_row())
+            if cfg.log_tokens_per_topic:
+                self.logger.log_tokens_per_topic(np.asarray(st.nk))
+
+    def _accumulate_phi_mean(self, it: int, total_iters: int):
+        cfg = self.config
+        if not cfg.save_phi_means:
+            return
+        burn_iter = int(total_iters * cfg.phi_mean_burnin / 100.0)
+        if it <= burn_iter or (it - burn_iter) % max(cfg.phi_mean_thin, 1):
+            return
+        phi = self.state.phi
+        self._phi_mean = phi if self._phi_mean is None \
+            else self._phi_mean + phi
+        self._phi_mean_count += 1
+
+    def _optimize_hyperparameters(self):
+        """optimizeAlpha / optimizeBeta (ModifiedSimpleLDA.java:812-905)."""
+        st = self.state
+        ndk = np.asarray(st.ndk)
+        lengths = ndk.sum(axis=1)
+        if self.config.symmetric_alpha:
+            a = learn_symmetric_concentration(ndk, lengths,
+                                              self.config.topics,
+                                              float(st.alpha[0]))
+            alpha = jnp.full_like(st.alpha, a)
+        else:
+            alpha = jnp.asarray(learn_dirichlet_parameters(
+                np.asarray(st.alpha), ndk, lengths), jnp.float32)
+        nkw = np.asarray(st.nkw)
+        b = learn_symmetric_concentration(nkw, nkw.sum(axis=1),
+                                          self.corpus.num_types,
+                                          float(st.beta))
+        self.state = st._replace(alpha=alpha, beta=jnp.float32(b))
+
+    def _paranoid_checks(self):
+        """ParanoidUncollapsedParallelLDA invariants
+        (test subclass, SURVEY.md §4.3) run inline each iteration."""
+        st = self.state
+        checks = count_ops.check_count_consistency(st.nkw, st.ndk,
+                                                   self.corpus.num_tokens)
+        for name, ok in checks.items():
+            if not bool(ok):
+                raise AssertionError(
+                    f"paranoid: invariant {name} violated at iteration "
+                    f"{int(st.iteration)}")
+        phi_sums = jnp.sum(st.phi, axis=-1)
+        if not bool(jnp.all(jnp.abs(phi_sums - 1.0) < 1e-3)):
+            raise AssertionError("paranoid: phi rows not normalised "
+                                 "(ensureConsistentPhi)")
+
+    def _held_out_log_likelihood(self) -> float:
+        from ldagroupedgibbssampler_tpu.evaluation.marginal import (
+            left_to_right_log_likelihood)
+        st = self.state
+        return float(left_to_right_log_likelihood(
+            jax.random.fold_in(st.key, 7919), self.test_corpus,
+            np.asarray(st.phi), np.asarray(st.alpha), num_particles=100))
+
+    # ------------------------------------------------------------------
+    # accessors (LDAGibbsSampler / LDASamplerWithPhi getters)
+    # ------------------------------------------------------------------
+    def abort(self):
+        self._abort = True
+
+    def get_abort(self) -> bool:
+        return self._abort
+
+    def get_phi(self) -> np.ndarray:
+        return np.asarray(self.state.phi)
+
+    def set_phi(self, phi, vocab=None, labels=None):
+        """setPhi with alphabet verification
+        (UncollapsedParallelLDA.java:1913-1926)."""
+        if vocab is not None and list(vocab) != list(self.corpus.vocab):
+            raise ValueError("vocabulary mismatch in set_phi")
+        phi = jnp.asarray(phi, jnp.float32)
+        assert phi.shape == self.state.phi.shape
+        self.state = self.state._replace(phi=phi)
+
+    def get_phi_means(self) -> Optional[np.ndarray]:
+        if self._phi_mean is None or self._phi_mean_count == 0:
+            return None
+        return np.asarray(self._phi_mean) / self._phi_mean_count
+
+    def get_topic_type_counts(self) -> np.ndarray:
+        """K×V counts (topicTypeCountMapping)."""
+        return np.asarray(self.state.nkw)
+
+    def get_type_topic_matrix(self) -> np.ndarray:
+        """V×K counts (typeTopicCounts — reference keeps both orientations,
+        UncollapsedParallelLDA.java:373-375; we transpose on demand)."""
+        return np.asarray(self.state.nkw).T
+
+    def get_document_topic_matrix(self) -> np.ndarray:
+        return np.asarray(self.state.ndk)
+
+    def get_tokens_per_topic(self) -> np.ndarray:
+        return np.asarray(self.state.nk)
+
+    def get_alpha(self) -> np.ndarray:
+        return np.asarray(self.state.alpha)
+
+    def get_beta(self) -> float:
+        return float(self.state.beta)
+
+    def get_theta_estimate(self) -> np.ndarray:
+        """Mean-estimate theta = (ndk + alpha) / (len_d + alphaSum)
+        (ModifiedSimpleLDA.getThetaEstimate:617-778)."""
+        st = self.state
+        ndk = np.asarray(st.ndk, np.float64)
+        alpha = np.asarray(st.alpha, np.float64)
+        denom = ndk.sum(axis=1, keepdims=True) + alpha.sum()
+        return (ndk + alpha[None, :]) / np.maximum(denom, 1e-12)
+
+    def get_zbar(self) -> np.ndarray:
+        """Empirical doc-topic proportions ndk / len_d (getZbar)."""
+        ndk = np.asarray(self.state.ndk, np.float64)
+        return ndk / np.maximum(ndk.sum(axis=1, keepdims=True), 1.0)
+
+    def get_z_indicators(self) -> np.ndarray:
+        """Per-token topic assignments in flat corpus order
+        (getZIndicators, UncollapsedParallelLDA.java:1782-1795)."""
+        z = np.asarray(self.state.z)
+        if self.layout == "flat":
+            return z[: self.corpus.num_tokens]
+        mask = np.asarray(self.mask_pad)
+        return z[mask]
+
+    def set_z_indicators(self, z_flat):
+        """Rebuild counts from imported z and resample phi
+        (setZIndicators, UncollapsedParallelLDA.java:1797-1843) — the manual
+        resume path."""
+        z_flat = np.asarray(z_flat, np.int32)
+        assert z_flat.shape[0] == self.corpus.num_tokens
+        st = self.state
+        if self.layout == "flat":
+            z = np.zeros(self.w.shape, np.int32)
+            z[: len(z_flat)] = z_flat
+            z = jnp.asarray(z)
+            nkw = count_ops.topic_word_counts(z, self.w, self.mask,
+                                              self.config.topics,
+                                              self.corpus.num_types)
+            ndk = count_ops.doc_topic_counts(z, self.doc_ids, self.mask,
+                                             self.corpus.num_docs,
+                                             self.config.topics)
+        else:
+            z = np.zeros(self.w_pad.shape, np.int32)
+            mask = np.asarray(self.mask_pad)
+            z[mask] = z_flat
+            z = jnp.asarray(z)
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              self.config.topics,
+                                              self.corpus.num_types)
+            ndk = count_ops.padded_doc_topic_counts(z, self.mask_pad,
+                                                    self.config.topics)
+        key, k_phi = jax.random.split(st.key)
+        phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + st.beta)
+        self.state = st._replace(key=key, z=z, ndk=ndk, nkw=nkw,
+                                 nk=count_ops.tokens_per_topic(nkw), phi=phi)
+
+    def get_log_likelihoods(self) -> list:
+        return list(self._ll_history)
+
+    def get_held_out_log_likelihoods(self) -> list:
+        return list(self._held_out_history)
+
+    def get_top_words(self, n: int | None = None) -> list:
+        return top_words(self.get_topic_type_counts(), self.corpus.vocab,
+                         n or self.config.no_top_words)
+
+    # checkpoint / resume (SURVEY.md §5: make (z, counts, phi, key,
+    # iteration) a real checkpoint — the reference only had setZIndicators)
+    def save_checkpoint(self, path: str):
+        st = self.state
+        np.savez(path, z=np.asarray(st.z), ndk=np.asarray(st.ndk),
+                 nkw=np.asarray(st.nkw), nk=np.asarray(st.nk),
+                 phi=np.asarray(st.phi),
+                 theta=(np.asarray(st.theta) if st.theta is not None
+                        else np.zeros(0)),
+                 alpha=np.asarray(st.alpha), beta=np.asarray(st.beta),
+                 iteration=np.asarray(st.iteration),
+                 key=jax.random.key_data(st.key))
+
+    def load_checkpoint(self, path: str):
+        d = np.load(path if path.endswith(".npz") else path + ".npz")
+        theta = jnp.asarray(d["theta"]) if d["theta"].size else None
+        self.state = LDAState(
+            key=jax.random.wrap_key_data(jnp.asarray(d["key"])),
+            z=jnp.asarray(d["z"]), ndk=jnp.asarray(d["ndk"]),
+            nkw=jnp.asarray(d["nkw"]), nk=jnp.asarray(d["nk"]),
+            phi=jnp.asarray(d["phi"]), theta=theta,
+            alpha=jnp.asarray(d["alpha"]), beta=jnp.asarray(d["beta"]),
+            iteration=jnp.asarray(d["iteration"]))
+        return self

@@ -1,0 +1,83 @@
+"""PCGS family: the uncollapsed / partially-collapsed parallel samplers.
+
+Reference classes:
+  - `UncollapsedParallelLDA` (topics/UncollapsedParallelLDA.java, 2051 LoC,
+    scheme `uncollapsed`) — the parallel engine: z-draws score
+    (n_dk + alpha_k) * phi[k][w] with phi fixed within the sweep
+    (:1509-1513), counts delta-merged after the sweep, phi rows then redrawn
+    Dir(n_k) — *without* beta smoothing (:1306-1316, flagged incorrect at
+    :1313-1315 but kept for experiment parity).
+  - `LDAPartiallyCollapsedGibbsSampler` (scheme `pcgs`,
+    topics/LDAPartiallyCollapsedGibbsSampler.java:95-118) — same z-step,
+    proper Dir(beta + n_k) phi smoothing.
+  - `EfficientUncollapsedParallelLDA` (scheme `efficient_uncollapsed`,
+    topics/EfficientUncollapsedParallelLDA.java:86-100) — identical target
+    distribution; its two-ended cumsum scan is a JVM micro-optimisation with
+    no TPU analogue, so it shares the PCGS step here (the Gumbel-max draw is
+    already O(K) with no scan at all).
+
+TPU-first: the intra-document dependency (n_dk updates within a doc) is kept
+by scanning over token *position* while vectorising across all documents
+(`doc_sequential_sweep`) — D parallel lanes × L sequential steps instead of
+the reference's ForkJoin recursive doc splitting
+(UncollapsedParallelLDA.java:1354-1402).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
+from ldagroupedgibbssampler_tpu.ops import counts as count_ops
+from ldagroupedgibbssampler_tpu.ops import random as rnd
+from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
+
+_EPS = 1e-30
+
+
+class UncollapsedParallelLDA(TpuLDASampler):
+    """Scheme `uncollapsed`: PCGS engine with the historical unsmoothed
+    phi ~ Dir(n_k) draw."""
+
+    layout = "doc_major"
+    smooth_phi = False
+
+    def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
+        conc = nkw.astype(jnp.float32) + (beta if self.smooth_phi else 1e-7)
+        if type_mask is None:
+            return rnd.dirichlet(key, conc)
+        return rnd.conditional_dirichlet(key, prev_phi, conc, type_mask)
+
+    def _word_logits_t(self, state: LDAState):
+        """[V, K] per-token word term: log phi.T (phi fixed within sweep)."""
+        return jnp.log(state.phi.T + _EPS), None
+
+    def _step(self, state: LDAState, doc_mask: jax.Array,
+              type_mask) -> LDAState:
+        cfg = self.config
+        k_z, k_phi, k_next = jax.random.split(state.key, 3)
+        word_logits_t, self_corr = self._word_logits_t(state)
+        ndk, z = doc_sequential_sweep(
+            k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
+            word_logits_t, state.alpha, doc_mask,
+            self_correction=self_corr)
+        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                          cfg.topics, self.corpus.num_types)
+        phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
+        return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
+                              nk=count_ops.tokens_per_topic(nkw), phi=phi,
+                              iteration=state.iteration + 1)
+
+
+class LDAPartiallyCollapsedGibbsSampler(UncollapsedParallelLDA):
+    """Scheme `pcgs`: proper beta-smoothed phi
+    (LDAPartiallyCollapsedGibbsSampler.java:95-118 via ParallelDirichlet)."""
+
+    smooth_phi = True
+
+
+class EfficientUncollapsedParallelLDA(UncollapsedParallelLDA):
+    """Scheme `efficient_uncollapsed`: same chain as `uncollapsed`
+    (EfficientUncollapsedParallelLDA.java:10 is a draw-mechanism
+    micro-optimisation only)."""

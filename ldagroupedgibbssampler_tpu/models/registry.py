@@ -1,0 +1,72 @@
+"""Scheme registry — mirrors ParallelLDA.createModel
+(topics/tui/ParallelLDA.java:401-490), mapping the same 16 scheme strings to
+sampler classes. Modules are imported lazily so optional schemes don't slow
+down framework import.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
+
+# scheme -> (module, class, human description printed by createModel)
+SCHEMES = {
+    "ggs": ("ggs", "LDAGroupedGibbsSampler",
+            "LDA Grouped Gibbs Sampler. GGS by George and Doss (2025)."),
+    "ggs_test": ("ggs", "LDAGroupedGibbsSamplerTest",
+                 "Invalid GGS comparison variant (stale theta)."),
+    "adlda": ("adlda", "ADLDA",
+              "Approximate Distributed LDA. ADLDA by Newman et al. (2009)."),
+    "pcgs": ("pcgs", "LDAPartiallyCollapsedGibbsSampler",
+             "Partially Collapsed Gibbs Sampler. PCGS by Magnusson et al. "
+             "(2018)."),
+    "uncollapsed": ("pcgs", "UncollapsedParallelLDA",
+                    "Uncollapsed Parallel LDA. PCGS by Magnusson et al. "
+                    "(2018)."),
+    "collapsed": ("cgs", "SerialCollapsedLDA",
+                  "Collapsed Serial LDA. CGS of Griffiths and Steyvers "
+                  "(2004)."),
+    "lightcollapsed": ("lightlda", "CollapsedLightLDA",
+                       "CollapsedLightLDA Parallel LDA."),
+    "efficient_uncollapsed": ("pcgs", "EfficientUncollapsedParallelLDA",
+                              "EfficientUncollapsedParallelLDA Parallel "
+                              "LDA."),
+    "spalias": ("spalias", "SpaliasUncollapsedParallelLDA",
+                "SpaliasUncollapsed Parallel LDA."),
+    "polyaurn": ("polyaurn", "PolyaUrnSpaliasLDA",
+                 "PolyaUrnSpaliasLDA Parallel LDA."),
+    "ppu_hlda": ("hdp", "PoissonPolyaUrnHLDA",
+                 "PoissonPolyaUrnHLDA Parallel HDP."),
+    "ppu_hdplda": ("hdp", "PoissonPolyaUrnHDPLDA",
+                   "PoissonPolyaUrnHDPLDA Parallel HDP."),
+    "ppu_hdplda_all_topics": ("hdp", "PoissonPolyaUrnHDPLDAInfiniteTopics",
+                              "PoissonPolyaUrnHDPLDAInfiniteTopics Parallel "
+                              "HDP."),
+    "spalias_priors": ("priors", "SpaliasUncollapsedParallelWithPriors",
+                       "SpaliasUncollapsed Parallel LDA with Priors."),
+    "lightpclda": ("lightlda", "LightPCLDA", "Light PC LDA."),
+    "lightpcldaw2": ("lightlda", "LightPCLDAtypeTopicProposal",
+                     "Light PC LDA with proposal 2."),
+    "nzvsspalias": ("nzvs", "NZVSSpaliasUncollapsedParallelLDA",
+                    "NZVSSpaliasUncollapsedParallelLDA Parallel LDA."),
+}
+
+
+def create_model(config: LDAConfig, scheme: str | None = None, logger=None,
+                 verbose: bool = False):
+    """Instantiate a sampler for `scheme` (default: config.scheme).
+
+    Raises ValueError for unknown schemes (the reference prints "Invalid
+    model type. Aborting", ParallelLDA.java:486-489).
+    """
+    scheme = scheme or config.scheme
+    if scheme not in SCHEMES:
+        raise ValueError(f"Invalid model type {scheme!r}. Known schemes: "
+                         f"{sorted(SCHEMES)}")
+    module_name, class_name, description = SCHEMES[scheme]
+    module = importlib.import_module(
+        f"ldagroupedgibbssampler_tpu.models.{module_name}")
+    if verbose:
+        print(description)
+    return getattr(module, class_name)(config, logger=logger)

@@ -1,0 +1,175 @@
+"""The hot z-step sweeps, as fused XLA programs.
+
+These are the TPU replacements for the reference's per-token thread-pool
+loops (SURVEY.md §3.2 hot loop, UncollapsedParallelLDA.java:1466-1545). Each
+sweep is a single jit-able function: gathers of log(phi)/log(theta) rows,
+K-wide logits, Gumbel-max categorical draws, all vectorised over a block of
+tokens (flat layout) or over all documents at one token position (doc-major
+layout). A Pallas kernel variant of the flat sweep lives in
+`pallas_kernels.py`; these XLA versions are the portable reference path and
+what the CPU test mesh runs.
+
+Sweep semantics per scheme:
+  - `sample_z_flat`     — token draws independent given (row_logits, phi):
+      GGS (LDAGroupedGibbsSampler.java:96-113) with row_logits = log theta_d.
+  - `doc_sequential_sweep` — per-document sequential dependency on n_dk,
+      vectorised across documents: PCGS (UncollapsedParallelLDA.java:
+      1509-1531 keeps phi fixed within a sweep; n_dk updates immediately),
+      and ADLDA's collapsed draw against sweep-stale global counts
+      (ADLDA.java / MyWorkerRunnable.java — see adlda.py for the staleness
+      contract).
+  - `cgs_serial_sweep`  — fully serial collapsed scan, the correctness
+      oracle (SerialCollapsedLDA.java:159-172 / ModifiedSimpleLDA.java:
+      158-226).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_LOG_EPS = 1e-30
+
+
+def _log(x):
+    return jnp.log(x + _LOG_EPS)
+
+
+def sample_z_flat(key: jax.Array, row_logits: jax.Array, log_phi_t: jax.Array,
+                  w: jax.Array, doc_ids: jax.Array, sel: jax.Array,
+                  z_old: jax.Array, block: int) -> jax.Array:
+    """Resample all selected tokens independently.
+
+    P(z_i = k) ∝ exp(row_logits[doc_i, k] + log_phi_t[w_i, k]).
+
+    row_logits[D, K]: log theta (GGS). log_phi_t[V, K] = log(phi).T so the
+    per-token access is a row gather. Tokens are processed in `block`-sized
+    chunks via lax.map so peak memory is O(block × K) instead of O(N × K).
+    """
+    n = w.shape[0]
+    assert n % block == 0, (n, block)
+    nb = n // block
+    keys = jax.random.split(key, nb)
+
+    def one_block(args):
+        k, wi, di, si, zi = args
+        logits = row_logits[di] + log_phi_t[wi]          # [B, K]
+        g = jax.random.gumbel(k, logits.shape, dtype=logits.dtype)
+        z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+        return jnp.where(si, z_new, zi)
+
+    blocks = jax.lax.map(one_block, (
+        keys, w.reshape(nb, block), doc_ids.reshape(nb, block),
+        sel.reshape(nb, block), z_old.reshape(nb, block)))
+    return blocks.reshape(-1)
+
+
+def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
+                         mask_pad: jax.Array, z_pad: jax.Array,
+                         ndk: jax.Array, word_logits_t: jax.Array,
+                         alpha: jax.Array, doc_sel: jax.Array,
+                         self_correction: jax.Array | None = None):
+    """One Gibbs sweep with intra-document sequentialism.
+
+    lax.scan over token position t; at each step every document resamples its
+    t-th token in parallel:
+
+        n_dk -= onehot(z_old)                        (decrement, :1505)
+        logits = log(n_dk + alpha) + word_logits_t[w_t]   (:1509-1513)
+        z_new ~ Gumbel-max categorical                (:1519-1531)
+        n_dk += onehot(z_new)                        (increment, :1542)
+
+    word_logits_t[V, K] encodes the scheme:
+      PCGS / uncollapsed: log phi.T (phi fixed within the sweep — exactly the
+        Java staleness, UncollapsedParallelLDA.java:1509).
+      ADLDA collapsed:    log(beta + N_kw) - log(V beta + n_k), stale for the
+        whole sweep (ADLDA replica semantics).
+
+    `self_correction`: optional [V, K]-shaped *pair* (num, den) is not needed;
+    instead pass `self_correction = (nkw, nk, beta)` tuple for collapsed
+    schemes so the token's own count is excluded at k == z_old:
+    log(beta + N_{z,w} - 1) - log(V beta + n_z - 1). None for PCGS/GGS where
+    phi carries no self-count.
+
+    Docs with doc_sel False (random-scan unselected) keep all their z.
+    Returns (ndk_out[int32], z_out[D, L]).
+    """
+    num_docs, length = w_pad.shape
+    num_topics = ndk.shape[1]
+    keys = jax.random.split(key, length)
+    alpha_f = alpha.astype(jnp.float32)
+
+    if self_correction is not None:
+        nkw, nk, beta = self_correction
+        num_types = nkw.shape[1]
+        beta_v = beta * num_types
+
+    def step(ndk_c, xs):
+        kt, wt, mt, zt = xs
+        active = mt & doc_sel
+        dec = active.astype(jnp.int32)
+        onehot_old = jax.nn.one_hot(zt, num_topics, dtype=jnp.int32)
+        ndk_c = ndk_c - onehot_old * dec[:, None]
+        logits = _log(ndk_c.astype(jnp.float32) + alpha_f) \
+            + word_logits_t[wt]                            # [D, K]
+        if self_correction is not None:
+            # exclude this token's own global count at k == z_old
+            own_nkw = nkw[zt, wt].astype(jnp.float32)       # [D]
+            own_nk = nk[zt].astype(jnp.float32)
+            corrected = (_log(ndk_c[jnp.arange(num_docs), zt]
+                              .astype(jnp.float32) + alpha_f[zt])
+                         + _log(beta + own_nkw - 1.0)
+                         - _log(beta_v + own_nk - 1.0))
+            logits = logits.at[jnp.arange(num_docs), zt].set(corrected)
+        g = jax.random.gumbel(kt, logits.shape, dtype=logits.dtype)
+        z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+        z_new = jnp.where(active, z_new, zt)
+        onehot_new = jax.nn.one_hot(z_new, num_topics, dtype=jnp.int32)
+        ndk_c = ndk_c + onehot_new * dec[:, None]
+        return ndk_c, z_new
+
+    ndk_out, z_cols = jax.lax.scan(
+        step, ndk, (keys, w_pad.T, mask_pad.T, z_pad.T))
+    return ndk_out, z_cols.T
+
+
+def cgs_serial_sweep(key: jax.Array, w: jax.Array, doc_ids: jax.Array,
+                     mask: jax.Array, z: jax.Array, ndk: jax.Array,
+                     nkw: jax.Array, nk: jax.Array, alpha: jax.Array,
+                     beta: jax.Array):
+    """Fully serial collapsed Gibbs sweep over every token, in corpus order.
+
+    The exact Griffiths & Steyvers chain (ModifiedSimpleLDA.java:158-226):
+    score_k = (alpha_k + n_dk^{-i}) (beta + n_kw^{-i}) / (V beta + n_k^{-i}),
+    inverse-CDF draw. O(N) sequential scan — the correctness oracle, used on
+    small corpora and in tests, not a performance path.
+
+    Returns (ndk, nkw, nk, z) after the sweep.
+    """
+    num_topics, num_types = nkw.shape
+    beta_v = beta * num_types
+    n = w.shape[0]
+    keys = jax.random.split(key, n)
+
+    def step(carry, xs):
+        ndk_c, nkw_c, nk_c = carry
+        kt, wt, dt, mt, zt = xs
+        dec = mt.astype(jnp.int32)
+        ndk_c = ndk_c.at[dt, zt].add(-dec)
+        nkw_c = nkw_c.at[zt, wt].add(-dec)
+        nk_c = nk_c.at[zt].add(-dec)
+        scores = ((alpha + ndk_c[dt].astype(jnp.float32))
+                  * (beta + nkw_c[:, wt].astype(jnp.float32))
+                  / (beta_v + nk_c.astype(jnp.float32)))
+        u = jax.random.uniform(kt, (), dtype=jnp.float32) * jnp.sum(scores)
+        z_new = jnp.argmax(jnp.cumsum(scores) > u).astype(jnp.int32)
+        z_new = jnp.where(mt, z_new, zt)
+        inc = dec
+        ndk_c = ndk_c.at[dt, z_new].add(inc)
+        nkw_c = nkw_c.at[z_new, wt].add(inc)
+        nk_c = nk_c.at[z_new].add(inc)
+        return (ndk_c, nkw_c, nk_c), z_new
+
+    (ndk, nkw, nk), z_new = jax.lax.scan(
+        step, (ndk, nkw, nk), (keys, w, doc_ids, mask, z))
+    return ndk, nkw, nk, z_new

@@ -1,0 +1,141 @@
+"""Corpus-layer and config-layer tests (ConfigTest.java:1-186,
+TestPerplexityDatasetBuilder, tokenizer/pruning behaviour)."""
+
+import os
+import textwrap
+
+import numpy as np
+
+from ldagroupedgibbssampler_tpu.config.ini import parse_ini
+from ldagroupedgibbssampler_tpu.corpus import (build_corpus, load_dataset,
+                                               read_uci_file)
+from ldagroupedgibbssampler_tpu.corpus.perplexity import (
+    build_perplexity_split, cross_validation_folds)
+from ldagroupedgibbssampler_tpu.corpus.pipeline import (keep_tfidf_top,
+                                                        prune_rare)
+from ldagroupedgibbssampler_tpu.corpus.tokenizer import tokenize
+from ldagroupedgibbssampler_tpu.corpus.uci import RawDoc
+
+CATS = "/root/reference/src/main/resources/datasets/cats.txt"
+PLDA_CFG = "/root/reference/src/main/resources/configuration/plda-cats-test.cfg"
+
+
+def test_uci_reader_cats():
+    docs = read_uci_file(CATS)
+    assert len(docs) == 23
+    assert docs[0].doc_id == "1"
+    assert docs[0].label == "X"
+    assert "wild" in docs[0].text
+
+
+def test_tokenizer_modes():
+    text = "Hello World-2 under_score 42 a"
+    assert tokenize(text) == ["hello", "world", "under", "score"]
+    assert tokenize(text, mode="numeric") == ["hello", "world", "under",
+                                              "score", "42"]
+    assert "under_score" in tokenize(text, mode="connector")
+    assert tokenize(text, stoplist=frozenset(["hello"]))[0] == "world"
+
+
+def test_prune_rare_and_tfidf():
+    docs = [["a", "a", "a", "b"], ["a", "b", "c"], ["a", "d"]]
+    assert prune_rare(docs, 2) == {"a", "b"}
+    kept = keep_tfidf_top(docs, 2)
+    assert len(kept) == 2
+    assert "a" not in kept  # appears in every doc -> idf 0
+
+
+def test_build_corpus_roundtrip():
+    raw = [RawDoc("1", "X", "apple banana apple"),
+           RawDoc("2", "Y", "banana cherry")]
+    c = build_corpus(raw, rare_threshold=0)
+    assert c.num_docs == 2
+    assert c.num_types == 3
+    assert c.num_tokens == 5
+    np.testing.assert_array_equal(c.doc_lengths(), [3, 2])
+    w_pad, mask = c.to_padded(4)
+    assert w_pad.shape[1] % 4 == 0
+    assert mask.sum() == 5
+
+
+def test_load_dataset_cats_counts():
+    c = load_dataset(CATS, rare_threshold=0)
+    assert c.num_docs == 23
+    assert c.num_tokens > 5000
+    # rare pruning shrinks vocabulary
+    c_pruned = load_dataset(CATS, rare_threshold=10)
+    assert c_pruned.num_types < c.num_types
+
+
+def test_perplexity_split(synthetic_corpus):
+    train, est, evl = build_perplexity_split(synthetic_corpus, 0.2, seed=1)
+    assert train.num_docs + est.num_docs == synthetic_corpus.num_docs
+    assert est.num_docs == evl.num_docs
+    # halves partition each test doc
+    for d in range(est.num_docs):
+        le = est.doc_lengths()[d]
+        lv = evl.doc_lengths()[d]
+        assert abs(int(le) - int(lv)) <= 1
+
+
+def test_cross_validation_folds():
+    folds = cross_validation_folds(100, 5, seed=3)
+    assert len(folds) == 5
+    all_test = np.concatenate([t for _tr, t in folds])
+    assert sorted(all_test) == list(range(100))
+
+
+def test_parse_reference_cfg():
+    """Parse the reference's canonical GGS-paper config
+    (plda-cats-test.cfg) end-to-end."""
+    parsed = parse_ini(PLDA_CFG)
+    assert parsed.sub_config_names() == ["adlda", "cgs", "pcgs", "pcgs-old",
+                                         "ggs"]
+    cfg = parsed.activate("ggs")
+    assert cfg.scheme == "ggs"
+    assert cfg.topics == 3
+    assert cfg.alpha == 5.0
+    assert cfg.beta == 7.0
+    assert cfg.iterations == 200
+    assert cfg.seed == 2019
+    assert cfg.exec_time == 1800
+    assert cfg.keep_numbers is True
+    assert cfg.symmetric_alpha is True
+    assert cfg.hyperparam_optim_interval == -1
+    assert cfg.topic_interval == 1
+    cgs = parsed.activate("cgs")
+    assert cgs.scheme == "collapsed"
+    old = parsed.activate("pcgs-old")
+    assert old.scheme == "uncollapsed"
+
+
+def test_subconfig_shadowing_and_overrides(tmp_path):
+    cfg_text = textwrap.dedent("""\
+        configs = a, b
+        topics = 10
+        alpha = 1.0 # trailing comment
+        [a]
+        topics = 20
+        [b]
+        scheme = pcgs
+    """)
+    p = tmp_path / "t.cfg"
+    p.write_text(cfg_text)
+    parsed = parse_ini(str(p))
+    a = parsed.activate("a")
+    assert a.topics == 20 and a.alpha == 1.0
+    b = parsed.activate("b", overrides={"topics": "99"})
+    assert b.topics == 99 and b.scheme == "pcgs"
+
+
+def test_classname_mapping(tmp_path):
+    p = tmp_path / "t.cfg"
+    p.write_text(
+        "configs = a\n[a]\n"
+        "batch_building_scheme = utils.randomscan.document."
+        "PercentageBatchBuilder\n"
+        "topic_index_building_scheme = utils.randomscan.topic."
+        "DeltaNTopicIndexBuilder\n")
+    cfg = parse_ini(str(p)).activate("a")
+    assert cfg.batch_building_scheme == "percentage"
+    assert cfg.topic_index_building_scheme == "delta_n"

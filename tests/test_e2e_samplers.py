@@ -1,0 +1,107 @@
+"""End-to-end sampler smoke tests on the bundled cats corpus and a
+planted-topic synthetic corpus — the TPU analogue of SmokeTest.java:17-74 and
+the integration style of §4.4 (SURVEY.md)."""
+
+import numpy as np
+import pytest
+
+from ldagroupedgibbssampler_tpu.config import LDAConfig
+from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+    model_log_likelihood)
+from ldagroupedgibbssampler_tpu.models.registry import create_model
+
+CORE_SCHEMES = ["ggs", "pcgs", "uncollapsed", "collapsed", "adlda",
+                "spalias", "efficient_uncollapsed"]
+
+
+def _run(scheme, corpus, iterations=30, topics=3, **kw):
+    cfg = LDAConfig(scheme=scheme, topics=topics, alpha=1.0, beta=0.01,
+                    iterations=iterations, seed=7, exec_time=-1,
+                    topic_interval=iterations, token_block=512,
+                    paranoid=True, **kw)
+    model = create_model(cfg)
+    model.add_instances(corpus)
+    model.sample(iterations)
+    return model
+
+
+@pytest.mark.parametrize("scheme", CORE_SCHEMES)
+def test_scheme_runs_and_counts_consistent(scheme, cats_corpus):
+    model = _run(scheme, cats_corpus, iterations=10)
+    st = model.state
+    assert int(np.asarray(st.nkw).sum()) == cats_corpus.num_tokens
+    assert int(np.asarray(st.ndk).sum()) == cats_corpus.num_tokens
+    z = model.get_z_indicators()
+    assert z.shape == (cats_corpus.num_tokens,)
+    assert z.min() >= 0 and z.max() < 3
+    phi = model.get_phi()
+    np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("scheme", ["ggs", "pcgs", "collapsed", "adlda"])
+def test_likelihood_improves(scheme, synthetic_corpus):
+    model = _run(scheme, synthetic_corpus, iterations=40)
+    lls = [ll for _it, ll in model.get_log_likelihoods()]
+    st = model.state
+    ll_final = float(model_log_likelihood(st.ndk, st.nkw, st.alpha,
+                                          float(st.beta)))
+    # vs. the expected LL of a uniform-random z assignment
+    rng = np.random.default_rng(0)
+    z0 = rng.integers(0, 3, synthetic_corpus.num_tokens)
+    doc_ids = synthetic_corpus.token_doc_ids()
+    ndk0 = np.zeros((synthetic_corpus.num_docs, 3), np.int32)
+    np.add.at(ndk0, (doc_ids, z0), 1)
+    nkw0 = np.zeros((3, synthetic_corpus.num_types), np.int32)
+    np.add.at(nkw0, (z0, synthetic_corpus.tokens), 1)
+    ll_random = float(model_log_likelihood(ndk0, nkw0, model.state.alpha,
+                                           float(model.state.beta)))
+    assert ll_final > ll_random + 100, (scheme, ll_final, ll_random)
+
+
+@pytest.mark.parametrize("scheme", ["ggs", "pcgs", "adlda", "collapsed"])
+def test_recovers_planted_topics(scheme, synthetic_corpus):
+    """Binomial-test analogue of SmokeTest.java:46-74: each planted topic's
+    vocabulary block should dominate one learned topic."""
+    model = _run(scheme, synthetic_corpus, iterations=60)
+    nkw = model.get_topic_type_counts()  # [3, 30]
+    # fraction of each learned topic's mass on its best vocab block
+    blocks = nkw.reshape(3, 3, 10).sum(axis=2)  # [learned, planted]
+    purity = blocks.max(axis=1) / np.maximum(blocks.sum(axis=1), 1)
+    assert purity.mean() > 0.7, (scheme, purity)
+    # all three planted blocks should be claimed by distinct learned topics
+    assert len(set(blocks.argmax(axis=1))) == 3, blocks
+
+
+def test_determinism_fixed_seed(synthetic_corpus):
+    """Fixed-key determinism (the TPU analogue of
+    TestBetweenProcessInitialization.java:23)."""
+    m1 = _run("ggs", synthetic_corpus, iterations=5)
+    m2 = _run("ggs", synthetic_corpus, iterations=5)
+    np.testing.assert_array_equal(m1.get_z_indicators(),
+                                  m2.get_z_indicators())
+    np.testing.assert_allclose(m1.get_phi(), m2.get_phi(), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, synthetic_corpus):
+    m1 = _run("ggs", synthetic_corpus, iterations=5)
+    ckpt = str(tmp_path / "state.npz")
+    m1.save_checkpoint(ckpt)
+    m1.sample(3)
+
+    cfg = m1.config
+    m2 = create_model(cfg)
+    m2.add_instances(synthetic_corpus)
+    m2.load_checkpoint(ckpt)
+    m2.sample(3)
+    np.testing.assert_array_equal(m1.get_z_indicators(),
+                                  m2.get_z_indicators())
+
+
+def test_set_z_indicators_rebuilds_counts(cats_corpus):
+    model = _run("pcgs", cats_corpus, iterations=3)
+    z = model.get_z_indicators()
+    perm = np.random.default_rng(1).integers(0, 3, z.shape)
+    model.set_z_indicators(perm)
+    st = model.state
+    assert int(np.asarray(st.nkw).sum()) == cats_corpus.num_tokens
+    np.testing.assert_array_equal(model.get_z_indicators(), perm)

@@ -1,0 +1,82 @@
+"""Multi-device tests the reference never had (SURVEY.md §4 implication):
+sharded GGS on an 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ldagroupedgibbssampler_tpu.config import LDAConfig
+from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
+from ldagroupedgibbssampler_tpu.parallel.sharded_ggs import (
+    ShardedGGS, partition_documents)
+
+
+def _cfg(**kw):
+    defaults = dict(scheme="ggs", topics=3, alpha=1.0, beta=0.01, seed=7,
+                    exec_time=-1, topic_interval=10, token_block=128,
+                    paranoid=True)
+    defaults.update(kw)
+    return LDAConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh((8,), ("data",))
+
+
+def test_partition_documents_balanced(synthetic_corpus):
+    bounds = partition_documents(synthetic_corpus, 8)
+    assert bounds[0] == 0 and bounds[-1] == synthetic_corpus.num_docs
+    assert all(bounds[i] <= bounds[i + 1] for i in range(8))
+
+
+def test_sharded_ggs_runs(mesh8, synthetic_corpus):
+    model = ShardedGGS(_cfg(), mesh=mesh8)
+    model.add_instances(synthetic_corpus)
+    model.sample(20)
+    st = model.state
+    assert int(np.asarray(st.nkw).sum()) == synthetic_corpus.num_tokens
+    assert int(np.asarray(st.ndk).sum()) == synthetic_corpus.num_tokens
+    z = model.get_z_indicators()
+    assert z.shape == (synthetic_corpus.num_tokens,)
+    ndk = model.get_document_topic_matrix()
+    np.testing.assert_array_equal(
+        ndk.sum(axis=1), synthetic_corpus.doc_lengths())
+
+
+def test_sharded_ggs_learns_planted_topics(mesh8, synthetic_corpus):
+    model = ShardedGGS(_cfg(), mesh=mesh8)
+    model.add_instances(synthetic_corpus)
+    model.sample(60)
+    nkw = model.get_topic_type_counts()
+    blocks = nkw.reshape(3, 3, 10).sum(axis=2)
+    purity = blocks.max(axis=1) / np.maximum(blocks.sum(axis=1), 1)
+    assert purity.mean() > 0.7, purity
+
+
+def test_sharded_vs_single_chip_statistics(mesh8, synthetic_corpus):
+    """1-chip vs 8-chip GGS agree in distribution: final LLs within a
+    tolerant band (they are different chains — same stationary dist)."""
+    from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+        model_log_likelihood)
+    from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
+
+    single = LDAGroupedGibbsSampler(_cfg())
+    single.add_instances(synthetic_corpus)
+    single.sample(50)
+    sharded = ShardedGGS(_cfg(), mesh=mesh8)
+    sharded.add_instances(synthetic_corpus)
+    sharded.sample(50)
+    ll1 = float(model_log_likelihood(single.state.ndk, single.state.nkw,
+                                     single.state.alpha, 0.01))
+    ll8 = float(model_log_likelihood(sharded.state.ndk, sharded.state.nkw,
+                                     sharded.state.alpha, 0.01))
+    # both should be in the converged band; allow 5% relative slack
+    assert abs(ll1 - ll8) / abs(ll1) < 0.05, (ll1, ll8)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(len(jax.devices()))
