@@ -54,23 +54,17 @@ def main():
 
     corpus = synth_corpus()
     cfg = LDAConfig(scheme="ggs", topics=K, alpha=0.5, beta=0.01, seed=2019,
-                    exec_time=-1, token_block=1 << 15)
+                    exec_time=-1)
     model = LDAGroupedGibbsSampler(cfg)
     model.add_instances(corpus)
-    step = model._get_step_jit()
-    doc_mask = np.ones(corpus.num_docs, bool)
-    import jax.numpy as jnp
-    dm = jnp.asarray(doc_mask)
-
-    state = model.state
-    for _ in range(ITERS_WARMUP):
-        state = step(state, dm, None)
-    jax.block_until_ready(state.z)
+    # fused multi-iteration driver: one dispatch per chunk of iterations
+    run = model._multi_step_fn(ITERS_MEASURED)
+    model.state = run(model.state)           # warmup (compile + execute)
+    jax.block_until_ready(model.state.z)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS_MEASURED):
-        state = step(state, dm, None)
-    jax.block_until_ready(state.z)
+    model.state = run(model.state)
+    jax.block_until_ready(model.state.z)
     dt = time.perf_counter() - t0
 
     tokens_per_sec = corpus.num_tokens * ITERS_MEASURED / dt

@@ -119,10 +119,12 @@ class LDAConfig:
     # --- TPU-native knobs (no reference counterpart) ---------------------
     mesh_shape: Sequence[int] = field(default_factory=tuple)  # () = 1 chip
     mesh_axis_names: Sequence[str] = ("data",)
-    token_block: int = 8192        # flat-layout padding multiple
+    token_block: int = 8192        # tokens per sweep block
+    vocab_span: int = 512          # max type-id span per w-sorted GGS block
     doc_length_multiple: int = 8   # doc-major padding multiple
     paranoid: bool = False         # run count invariants every iteration
     scan_chunk: int = 1            # iterations fused per lax.scan chunk
+    prng_impl: str = "rbg"         # "rbg" (fast on TPU) or "threefry2x32"
 
     def replace(self, **kw) -> "LDAConfig":
         return dataclasses.replace(self, **kw)

@@ -24,6 +24,17 @@ import numpy as np
 
 
 @dataclass
+class WSortedBlocks:
+    """Type-sorted token blocks (see Corpus.w_sorted_blocks)."""
+    w_local: np.ndarray    # [NB, B] type id minus the block's v0
+    doc_ids: np.ndarray    # [NB, B] global doc id of each token
+    mask: np.ndarray       # [NB, B] validity
+    v0: np.ndarray         # [NB] first type id covered by each block
+    flat_index: np.ndarray  # [NB, B] original corpus token index (-1 = pad)
+    vspan: int
+
+
+@dataclass
 class Corpus:
     tokens: np.ndarray                 # int32 [N]
     doc_offsets: np.ndarray            # int64 [D+1]
@@ -116,6 +127,53 @@ class Corpus:
             doc_ids=[self.doc_ids[d] for d in doc_indices]
             if self.doc_ids else [],
         )
+
+    def w_sorted_blocks(self, block: int = 8192, vspan: int = 512
+                        ) -> "WSortedBlocks":
+        """Static type-sorted block layout for the fused GGS sweep.
+
+        Tokens are reordered (once, at load time — z-draws are exchangeable
+        given (theta, phi), so order is free) so tokens of the same type are
+        adjacent, then cut into blocks of at most `block` tokens spanning at
+        most `vspan` consecutive type ids. Within a block the phi rows the
+        sweep needs are one contiguous [vspan, K] slice, and the block's
+        N_kw contribution is a [vspan, B] × [B, K] indicator matmul on the
+        MXU instead of a scatter (SURVEY.md §7 "scatter contention" —
+        sort + segment-sum beats naive scatter on TPU).
+        """
+        n = self.num_tokens
+        order = np.argsort(self.tokens, kind="stable")
+        w_s = self.tokens[order]
+        d_s = self.token_doc_ids()[order]
+        bounds = [0]
+        start = 0
+        while start < n:
+            end = min(start + block, n)
+            v0 = w_s[start]
+            if w_s[end - 1] - v0 + 1 > vspan:
+                end = start + int(np.searchsorted(w_s[start:end], v0 + vspan,
+                                                  side="left"))
+            bounds.append(end)
+            start = end
+        if len(bounds) == 1:
+            bounds.append(0)
+        nb = len(bounds) - 1
+        w_local = np.zeros((nb, block), np.int32)
+        doc_ids = np.zeros((nb, block), np.int32)
+        mask = np.zeros((nb, block), bool)
+        v0s = np.zeros(nb, np.int32)
+        flat_index = np.full((nb, block), -1, np.int64)
+        for i in range(nb):
+            s, e = bounds[i], bounds[i + 1]
+            if e <= s:
+                continue
+            v0s[i] = w_s[s]
+            w_local[i, : e - s] = w_s[s:e] - v0s[i]
+            doc_ids[i, : e - s] = d_s[s:e]
+            mask[i, : e - s] = True
+            flat_index[i, : e - s] = order[s:e]
+        return WSortedBlocks(w_local=w_local, doc_ids=doc_ids, mask=mask,
+                             v0=v0s, flat_index=flat_index, vspan=vspan)
 
     @staticmethod
     def from_token_lists(doc_tokens: list[list[int]], vocab: list[str],

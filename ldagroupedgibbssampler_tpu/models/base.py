@@ -75,6 +75,10 @@ class TpuLDASampler:
     # GibbsSampler.java:95-118 fixes the unsmoothed draw flagged at
     # UncollapsedParallelLDA.java:1313-1315).
     smooth_phi = True
+    # Orientation of state.nkw / state.phi: "kv" = [K, V] (reference
+    # orientation), "vk" = [V, K] (type-major, used by the fused GGS path
+    # where per-token access is row-wise by type).
+    nkw_layout = "kv"
 
     def __init__(self, config: LDAConfig, logger=None):
         self.config = config
@@ -101,9 +105,10 @@ class TpuLDASampler:
         self.corpus = corpus
         cfg = self.config
         if key is None:
-            key = jax.random.key(cfg.effective_seed())
+            key = jax.random.key(cfg.effective_seed(), impl=cfg.prng_impl)
         self._prepare_device_data(corpus)
-        self.state = self._init_state(key)
+        # one fused compile for the whole init instead of op-by-op eager
+        self.state = jax.jit(self._init_state)(key)
         self.doc_batch_builder = randomscan.make_document_batch_builder(
             cfg, corpus.num_docs)
         self.topic_index_builder = randomscan.make_topic_index_builder(
@@ -244,6 +249,16 @@ class TpuLDASampler:
     # ------------------------------------------------------------------
     # periodic work inside the loop
     # ------------------------------------------------------------------
+    def _nkw_kv(self, st: LDAState | None = None) -> jnp.ndarray:
+        """Counts in the reference's [K, V] orientation regardless of the
+        sampler's internal layout."""
+        st = st if st is not None else self.state
+        return st.nkw if self.nkw_layout == "kv" else st.nkw.T
+
+    def _phi_kv(self, st: LDAState | None = None) -> jnp.ndarray:
+        st = st if st is not None else self.state
+        return st.phi if self.nkw_layout == "kv" else st.phi.T
+
     def _needs_delta(self) -> bool:
         return isinstance(self.topic_index_builder,
                           randomscan.DeltaNTopicIndexBuilder) or isinstance(
@@ -262,15 +277,16 @@ class TpuLDASampler:
         stats = IterationStats(iteration=it,
                                total_ms=(time.perf_counter() - t0) * 1e3)
         if cfg.compute_likelihood:
-            ll = float(model_log_likelihood(st.ndk, st.nkw, st.alpha,
-                                            float(st.beta)))
+            ll = float(model_log_likelihood(st.ndk, self._nkw_kv(st),
+                                            st.alpha, float(st.beta)))
             self._ll_history.append((it, ll))
             if self.logger:
                 self.logger.log_likelihood(it, ll)
         if cfg.start_diagnostic > 0 and it >= cfg.start_diagnostic:
             theta = st.theta if st.theta is not None else \
                 self.get_theta_estimate()
-            lp = float(log_posterior(st.ndk, st.nkw, theta, st.phi, st.alpha,
+            lp = float(log_posterior(st.ndk, self._nkw_kv(st), theta,
+                                     self._phi_kv(st), st.alpha,
                                      float(st.beta)))
             if self.logger:
                 self.logger.log_posterior(it, lp)
@@ -281,7 +297,7 @@ class TpuLDASampler:
                 self.logger.log_held_out_ll(it, hll)
         if self.logger:
             if cfg.log_type_topic_density:
-                stats.density_nkw = float(matrix_density(st.nkw))
+                stats.density_nkw = float(matrix_density(st.nkw))  # orientation-free
             if cfg.log_document_density:
                 stats.density_ndk = float(matrix_density(st.ndk))
             if cfg.log_phi_density:
@@ -315,7 +331,7 @@ class TpuLDASampler:
         else:
             alpha = jnp.asarray(learn_dirichlet_parameters(
                 np.asarray(st.alpha), ndk, lengths), jnp.float32)
-        nkw = np.asarray(st.nkw)
+        nkw = np.asarray(self._nkw_kv(st))
         b = learn_symmetric_concentration(nkw, nkw.sum(axis=1),
                                           self.corpus.num_types,
                                           float(st.beta))
@@ -325,14 +341,14 @@ class TpuLDASampler:
         """ParanoidUncollapsedParallelLDA invariants
         (test subclass, SURVEY.md §4.3) run inline each iteration."""
         st = self.state
-        checks = count_ops.check_count_consistency(st.nkw, st.ndk,
+        checks = count_ops.check_count_consistency(self._nkw_kv(st), st.ndk,
                                                    self.corpus.num_tokens)
         for name, ok in checks.items():
             if not bool(ok):
                 raise AssertionError(
                     f"paranoid: invariant {name} violated at iteration "
                     f"{int(st.iteration)}")
-        phi_sums = jnp.sum(st.phi, axis=-1)
+        phi_sums = jnp.sum(self._phi_kv(st), axis=-1)
         if not bool(jnp.all(jnp.abs(phi_sums - 1.0) < 1e-3)):
             raise AssertionError("paranoid: phi rows not normalised "
                                  "(ensureConsistentPhi)")
@@ -342,8 +358,9 @@ class TpuLDASampler:
             left_to_right_log_likelihood)
         st = self.state
         return float(left_to_right_log_likelihood(
-            jax.random.fold_in(st.key, 7919), self.test_corpus,
-            np.asarray(st.phi), np.asarray(st.alpha), num_particles=100))
+            jax.random.fold_in(st.key, 7919), self.test_corpus, None,
+            np.asarray(st.alpha), num_particles=100,
+            nkw=self._nkw_kv(st), nk=st.nk, beta=float(st.beta)))
 
     # ------------------------------------------------------------------
     # accessors (LDAGibbsSampler / LDASamplerWithPhi getters)
@@ -373,12 +390,12 @@ class TpuLDASampler:
 
     def get_topic_type_counts(self) -> np.ndarray:
         """K×V counts (topicTypeCountMapping)."""
-        return np.asarray(self.state.nkw)
+        return np.asarray(self._nkw_kv())
 
     def get_type_topic_matrix(self) -> np.ndarray:
         """V×K counts (typeTopicCounts — reference keeps both orientations,
         UncollapsedParallelLDA.java:373-375; we transpose on demand)."""
-        return np.asarray(self.state.nkw).T
+        return np.asarray(self._nkw_kv()).T
 
     def get_document_topic_matrix(self) -> np.ndarray:
         return np.asarray(self.state.ndk)
@@ -474,7 +491,8 @@ class TpuLDASampler:
         d = np.load(path if path.endswith(".npz") else path + ".npz")
         theta = jnp.asarray(d["theta"]) if d["theta"].size else None
         self.state = LDAState(
-            key=jax.random.wrap_key_data(jnp.asarray(d["key"])),
+            key=jax.random.wrap_key_data(jnp.asarray(d["key"]),
+                                         impl=self.config.prng_impl),
             z=jnp.asarray(d["z"]), ndk=jnp.asarray(d["ndk"]),
             nkw=jnp.asarray(d["nkw"]), nk=jnp.asarray(d["nk"]),
             phi=jnp.asarray(d["phi"]), theta=theta,

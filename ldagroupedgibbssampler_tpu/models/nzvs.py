@@ -1,0 +1,42 @@
+"""NZVS-Spalias: variable-selection (spike-and-slab) phi, scheme
+`nzvsspalias`.
+
+Reference: topics/NZVSSpaliasUncollapsedParallelLDA.java (538 LoC): phi rows
+drawn by `VSDirichlet.nextDistribution` (types/VSDirichlet.java) — a
+zero-inflated Dirichlet where zero-count coordinates are included in the
+support only with posterior inclusion probability; the global
+`nonZeroTypeTopicIdxs` set (per-type locks :56-67) tracks the sparse phi
+support for the alias path.
+
+TPU-first: `ops.random.vs_dirichlet` vectorises the inclusion draws + Gamma
+draws over the whole [K, V] matrix; the support mask replaces the locked
+index set, and the token sweep gets exact-zero support the same way the
+Polya-Urn sampler does.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ldagroupedgibbssampler_tpu.models.polyaurn import PolyaUrnSpaliasLDA
+from ldagroupedgibbssampler_tpu.ops import random as rnd
+
+_EPS = 1e-30
+
+
+class NZVSSpaliasUncollapsedParallelLDA(PolyaUrnSpaliasLDA):
+    vs_prior = 0.5
+
+    def _initial_phi(self, key, nkw, beta):
+        phi, _zero = rnd.vs_dirichlet(key, nkw, float(self.config.beta),
+                                      self.vs_prior)
+        return phi
+
+    def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
+        phi, _zero = rnd.vs_dirichlet(key, nkw, self.config.beta,
+                                      self.vs_prior)
+        if type_mask is not None:
+            phi = jnp.where(type_mask[None, :], phi, prev_phi)
+            phi = phi / jnp.maximum(jnp.sum(phi, axis=-1, keepdims=True),
+                                    _EPS)
+        return phi

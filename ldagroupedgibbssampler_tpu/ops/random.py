@@ -118,7 +118,7 @@ def polya_urn_dirichlet(key: jax.Array, counts, beta: float):
     Returns (phi_row_probs, zero_mask) where zero_mask marks exact zeros.
     """
     lam = jnp.asarray(counts, jnp.float32) + beta
-    c = jax.random.poisson(key, lam).astype(jnp.float32)
+    c = jax.random.poisson(_as_threefry(key), lam).astype(jnp.float32)
     total = jnp.sum(c, axis=-1, keepdims=True)
     # Guard: a row with all-zero Poisson draws falls back to uniform.
     safe = jnp.where(total > 0, c / jnp.maximum(total, 1.0),
@@ -147,13 +147,20 @@ def vs_dirichlet(key: jax.Array, counts, beta: float, vs_prior: float = 0.5):
     return probs, ~include
 
 
+def _as_threefry(key: jax.Array) -> jax.Array:
+    """jax.random.poisson only supports threefry keys; derive one from any
+    key impl (e.g. the fast rbg keys the samplers use) via its random bits."""
+    data = jax.random.bits(key, (2,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="threefry2x32")
+
+
 def poisson(key: jax.Array, lam, shape=None):
     """Poisson draws (replaces Kemp/Atkinson scalar samplers,
     types/PolyaUrnDirichlet.java:96- and types/PoissonFixedCoeffSampler.java)."""
     lam = jnp.asarray(lam, jnp.float32)
     if shape is None:
         shape = lam.shape
-    return jax.random.poisson(key, lam, shape=shape)
+    return jax.random.poisson(_as_threefry(key), lam, shape=shape)
 
 
 def binomial(key: jax.Array, n, p, shape=None):
@@ -161,7 +168,7 @@ def binomial(key: jax.Array, n, p, shape=None):
     regimes; jax.random.binomial switches regimes internally)."""
     n = jnp.asarray(n, jnp.float32)
     p = jnp.asarray(p, jnp.float32)
-    return jax.random.binomial(key, n, p, shape=shape)
+    return jax.random.binomial(_as_threefry(key), n, p, shape=shape)
 
 
 def beta(key: jax.Array, a, b, shape=None):

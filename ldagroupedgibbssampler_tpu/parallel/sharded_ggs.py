@@ -31,8 +31,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
-from ldagroupedgibbssampler_tpu.models.base import LDAState
-from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
+from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
 from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
 
@@ -53,8 +52,22 @@ def partition_documents(corpus: Corpus, num_shards: int):
     return bounds
 
 
-class ShardedGGS(LDAGroupedGibbsSampler):
-    """GGS with documents sharded over `mesh` (default: all devices)."""
+class ShardedGGS(TpuLDASampler):
+    """GGS with documents sharded over `mesh` (default: all devices).
+
+    Uses the reference [K, V] count orientation and the simple flat sweep
+    per shard (the single-chip fused w-sorted layout is in models/ggs.py;
+    a sharded version of that layout composes per-shard later)."""
+
+    layout = "flat"
+    smooth_phi = True
+    nkw_layout = "kv"
+
+    def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
+        conc = nkw.astype(jnp.float32) + beta
+        if type_mask is None:
+            return rnd.dirichlet(key, conc)
+        return rnd.conditional_dirichlet(key, prev_phi, conc, type_mask)
 
     def __init__(self, config, logger=None, mesh=None):
         super().__init__(config, logger=logger)

@@ -12,6 +12,9 @@ from ldagroupedgibbssampler_tpu.models.registry import create_model
 
 CORE_SCHEMES = ["ggs", "pcgs", "uncollapsed", "collapsed", "adlda",
                 "spalias", "efficient_uncollapsed"]
+EXTENDED_SCHEMES = ["ggs_test", "polyaurn", "nzvsspalias", "lightpclda",
+                    "lightpcldaw2", "lightcollapsed", "ppu_hdplda",
+                    "ppu_hlda", "ppu_hdplda_all_topics", "spalias_priors"]
 
 
 def _run(scheme, corpus, iterations=30, topics=3, **kw):
@@ -36,6 +39,43 @@ def test_scheme_runs_and_counts_consistent(scheme, cats_corpus):
     assert z.min() >= 0 and z.max() < 3
     phi = model.get_phi()
     np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("scheme", EXTENDED_SCHEMES)
+def test_extended_scheme_runs(scheme, synthetic_corpus):
+    """All 16 registry schemes run and keep count invariants
+    (createModel parity, tui/ParallelLDA.java:401-490)."""
+    model = _run(scheme, synthetic_corpus, iterations=8)
+    st = model.state
+    assert int(np.asarray(st.nkw).sum()) == synthetic_corpus.num_tokens
+    z = model.get_z_indicators()
+    assert z.min() >= 0 and z.max() < 3
+
+
+@pytest.mark.parametrize("scheme", ["lightpclda", "lightcollapsed",
+                                    "polyaurn"])
+def test_extended_schemes_learn(scheme, synthetic_corpus):
+    """MH and sparse-phi samplers also recover the planted structure."""
+    model = _run(scheme, synthetic_corpus, iterations=60)
+    nkw = model.get_topic_type_counts()
+    blocks = nkw.reshape(3, 3, 10).sum(axis=2)
+    purity = blocks.max(axis=1) / np.maximum(blocks.sum(axis=1), 1)
+    assert purity.mean() > 0.6, (scheme, purity)
+
+
+def test_hdp_activates_topics(synthetic_corpus):
+    """HDP grows from hdp_start_topics toward the 3 planted topics."""
+    cfg = LDAConfig(scheme="ppu_hdplda_all_topics", topics=10, alpha=1.0,
+                    beta=0.01, iterations=40, seed=5, exec_time=-1,
+                    topic_interval=40, hdp_start_topics=1, hdp_gamma=1.0)
+    from ldagroupedgibbssampler_tpu.models.registry import create_model as cm
+    model = cm(cfg)
+    model.add_instances(synthetic_corpus)
+    model.sample(40)
+    hist = model.get_active_topic_history()
+    assert hist[0] >= 1
+    assert hist[-1] >= 3, hist[-5:]
+    assert hist[-1] <= 10
 
 
 @pytest.mark.parametrize("scheme", ["ggs", "pcgs", "collapsed", "adlda"])

@@ -67,9 +67,11 @@ def test_sharded_vs_single_chip_statistics(mesh8, synthetic_corpus):
     sharded = ShardedGGS(_cfg(), mesh=mesh8)
     sharded.add_instances(synthetic_corpus)
     sharded.sample(50)
-    ll1 = float(model_log_likelihood(single.state.ndk, single.state.nkw,
+    ll1 = float(model_log_likelihood(single.get_document_topic_matrix(),
+                                     single.get_topic_type_counts(),
                                      single.state.alpha, 0.01))
-    ll8 = float(model_log_likelihood(sharded.state.ndk, sharded.state.nkw,
+    ll8 = float(model_log_likelihood(sharded.get_document_topic_matrix(),
+                                     sharded.get_topic_type_counts(),
                                      sharded.state.alpha, 0.01))
     # both should be in the converged band; allow 5% relative slack
     assert abs(ll1 - ll8) / abs(ll1) < 0.05, (ll1, ll8)
