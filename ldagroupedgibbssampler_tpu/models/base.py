@@ -372,16 +372,57 @@ class TpuLDASampler:
         return self._abort
 
     def get_phi(self) -> np.ndarray:
-        return np.asarray(self.state.phi)
+        """phi in the reference's [K, V] orientation regardless of the
+        sampler's internal layout."""
+        return np.asarray(self._phi_kv())
 
     def set_phi(self, phi, vocab=None, labels=None):
         """setPhi with alphabet verification
-        (UncollapsedParallelLDA.java:1913-1926)."""
+        (UncollapsedParallelLDA.java:1913-1926). `phi` is [K, V]."""
         if vocab is not None and list(vocab) != list(self.corpus.vocab):
             raise ValueError("vocabulary mismatch in set_phi")
         phi = jnp.asarray(phi, jnp.float32)
+        if self.nkw_layout != "kv":
+            phi = phi.T
         assert phi.shape == self.state.phi.shape
         self.state = self.state._replace(phi=phi)
+
+    def sample_z_given_phi(self, iterations: int = 100):
+        """Resample z (and the count matrices) holding phi fixed —
+        LDASamplerWithPhi.sampleZGivenPhi
+        (UncollapsedParallelLDA.java:975-1014). All documents fold in
+        simultaneously in one jitted scan; the post-burn-in theta mean is
+        cached for `get_theta_estimate`-style read-out via
+        `get_fold_in_theta`."""
+        from ldagroupedgibbssampler_tpu.evaluation import foldin
+        st = self.state
+        key, k_fold = jax.random.split(st.key)
+        phi_kv = jnp.asarray(self._phi_kv(), jnp.float32)
+        log_phi_vk = jnp.log(jnp.maximum(phi_kv.T, 1e-30))
+        w, doc_ids, mask = self.corpus.flat_padded(self.config.token_block)
+        z, ndk, theta_mean = foldin._fold_in_jit(
+            k_fold, jnp.asarray(w), jnp.asarray(doc_ids), jnp.asarray(mask),
+            log_phi_vk, st.alpha, self.corpus.num_docs, int(iterations),
+            int(iterations) // 2)
+        nkw = count_ops.topic_word_counts(z, jnp.asarray(w),
+                                          jnp.asarray(mask),
+                                          self.config.topics,
+                                          self.corpus.num_types)
+        if self.nkw_layout != "kv":
+            nkw = nkw.T
+        if self.layout != "flat":
+            # doc-major samplers keep z padded [D, L]; rebuild that layout
+            z_np = np.zeros(self.w_pad.shape, np.int32)
+            z_np[np.asarray(self.mask_pad)] = np.asarray(z)[np.asarray(mask)]
+            z = jnp.asarray(z_np)
+        self._fold_in_theta = np.asarray(theta_mean)
+        self.state = st._replace(key=key, z=z, ndk=ndk, nkw=nkw,
+                                 nk=count_ops.tokens_per_topic(self._nkw_kv(
+                                     st._replace(nkw=nkw))))
+        return self
+
+    def get_fold_in_theta(self) -> Optional[np.ndarray]:
+        return getattr(self, "_fold_in_theta", None)
 
     def get_phi_means(self) -> Optional[np.ndarray]:
         if self._phi_mean is None or self._phi_mean_count == 0:
