@@ -98,9 +98,29 @@ class KLDivergenceClassifier:
             EnhancedConfusionMatrix)
         assert test_corpus.labels
         pred = self.classify(test_corpus)
-        idx = {c: i for i, c in enumerate(self.class_names)}
+        # classes unseen in training (possible in small CV folds) extend the
+        # label set; they can never be predicted, only missed
+        names = list(self.class_names) + sorted(
+            set(test_corpus.labels) - set(self.class_names))
+        idx = {c: i for i, c in enumerate(names)}
         y = np.asarray([idx[c] for c in test_corpus.labels], np.int64)
-        return EnhancedConfusionMatrix(y, pred, self.class_names)
+        return EnhancedConfusionMatrix(y, pred, names)
+
+    def cross_validate(self, corpus: Corpus, folds: int = 5,
+                       iterations: int | None = None):
+        """k-fold cross-validation returning one confusion matrix ("trial")
+        per fold (Classifier.crossValidate as used by
+        tui/KLClassifier.java:126-131). Re-trains from scratch each fold."""
+        from ldagroupedgibbssampler_tpu.corpus.perplexity import (
+            cross_validation_folds)
+        trials = []
+        for train_idx, test_idx in cross_validation_folds(
+                corpus.num_docs, folds, seed=self.config.effective_seed()):
+            fold_clf = type(self)(self.config, scheme=self.scheme,
+                                  fold_in_iterations=self.fold_in_iterations)
+            fold_clf.train(corpus.subset(train_idx), iterations=iterations)
+            trials.append(fold_clf.evaluate(corpus.subset(test_idx)))
+        return trials
 
 
 class KLDivergenceClassifierMultiCorpus(KLDivergenceClassifier):

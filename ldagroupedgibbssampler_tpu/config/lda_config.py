@@ -30,6 +30,10 @@ class LDAConfig:
     # --- data (util/LDAUtils.java loaders) -------------------------------
     dataset: Optional[str] = None
     test_dataset: Optional[str] = None
+    # LDATrainTestConfiguration.getTextDatasetTestIdsFilename
+    # (configuration/LDATrainTestConfiguration.java)
+    test_ids_filename: Optional[str] = None
+    folds: int = 2                     # cross-validation folds (tui drivers)
     stoplist: Optional[str] = "stoplist.txt"
     rare_threshold: int = 0            # RARE_WORD_THRESHOLD
     tfidf_vocab_size: int = -1         # TF_IDF_VOCAB_SIZE_DEFAULT

@@ -1,0 +1,117 @@
+"""Smoke tests for the secondary CLI drivers (SURVEY.md §2.9):
+XValidationCreator, ParallelLDATrainTest, KLClassifier, LDASimilarity,
+BM25Search, TopicMassExperiment — library-level bodies driven on a tiny
+corpus, checking the artifact files each reference driver writes.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from ldagroupedgibbssampler_tpu.config import LDAConfig
+from ldagroupedgibbssampler_tpu.utils.logging_utils import RunLogger
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return LDAConfig(scheme="ggs", topics=3, alpha=0.5, beta=0.01, seed=11,
+                     iterations=15, exec_time=-1, folds=2,
+                     experiment_out_dir=str(tmp_path))
+
+
+@pytest.fixture()
+def logger(tmp_path):
+    return RunLogger(str(tmp_path / "run"))
+
+
+def test_xvalidation_creator(cfg, logger, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.tui.xvalidation import (
+        create_xvalidation_dataset)
+    out = create_xvalidation_dataset(synthetic_corpus, 2, cfg, logger,
+                                     scheme="ggs")
+    assert len(out) == 2
+    for fold_dir, _model in out:
+        files = os.listdir(fold_dir)
+        assert "train-ids.txt" in files and "test-ids.txt" in files
+        assert any(f.startswith("train-doc_topic_means") for f in files)
+        assert any(f.startswith("test-doc_topic_means") for f in files)
+    # folds partition the docs
+    ids = []
+    for fold_dir, _ in out:
+        with open(os.path.join(fold_dir, "test-ids.txt")) as f:
+            ids += [l.strip() for l in f if l.strip()]
+    assert len(set(ids)) == synthetic_corpus.num_docs
+
+
+def test_train_test_runner(cfg, logger, synthetic_corpus, tmp_path):
+    from ldagroupedgibbssampler_tpu.tui.train_test import run_train_test
+    ids_file = tmp_path / "test_ids.txt"
+    ids_file.write_text("\n".join(str(i) for i in range(0, 60, 5)))
+    cfg = cfg.replace(test_ids_filename=str(ids_file))
+    run_train_test(cfg, synthetic_corpus, logger, scheme="ggs")
+    with open(os.path.join(logger.run_dir, "test-ids.txt")) as f:
+        test_ids = [l.strip() for l in f if l.strip()]
+    assert test_ids == [str(i) for i in range(0, 60, 5)]
+    mats = glob.glob(os.path.join(logger.run_dir, "test-doc_topic_means*"))
+    assert mats
+    m = np.loadtxt(mats[0], delimiter=",")
+    assert m.shape == (12, 3)
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_kl_classifier_driver(cfg, logger, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.tui.kl_classifier import (
+        run_classification)
+    cfg = cfg.replace(scheme="spalias", iterations=40)
+    combined = run_classification(cfg, synthetic_corpus, logger, folds=2)
+    assert combined.total == synthetic_corpus.num_docs
+    assert combined.average_accuracy >= 0.6
+    assert os.path.exists(os.path.join(logger.run_dir,
+                                       "last-confusion-matrix.csv"))
+
+
+def test_lda_similarity_driver(cfg, logger, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.tui.lda_similarity import run_similarity
+    cfg = cfg.replace(iterations=30)
+    out = run_similarity(cfg, synthetic_corpus, logger)
+    assert out.shape[0] == synthetic_corpus.num_docs // 2
+    sim_file = os.path.join(logger.run_dir, "similarities.csv")
+    assert os.path.exists(sim_file)
+    with open(sim_file) as f:
+        assert len(f.readlines()) == out.shape[0] + 1
+
+
+def test_bm25_search_driver(cfg, logger, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.tui.bm25_search import run_search
+    idx, scores = run_search(cfg, synthetic_corpus, logger)
+    n_train = synthetic_corpus.num_docs - synthetic_corpus.num_docs // 2
+    assert idx.shape == (n_train, 2)
+    # a doc's best match is usually itself (it is in the index); same-class
+    # docs in the synthetic corpus share vocab, so allow near-duplicates to
+    # win sometimes
+    self_in_top2 = ((idx[:, 0] == np.arange(n_train))
+                    | (idx[:, 1] == np.arange(n_train)))
+    assert self_in_top2.mean() > 0.5
+    assert os.path.exists(os.path.join(logger.run_dir, "bm25_results.csv"))
+
+
+def test_topic_mass_driver(cfg, logger, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.tui.topic_mass import (
+        run_topic_mass, type_mass_cumsum)
+    cum = run_topic_mass(cfg, synthetic_corpus, logger, print_every=10)
+    assert cum[-1] == pytest.approx(1.0)
+    assert np.all(np.diff(cum) >= -1e-12)
+    assert os.path.exists(os.path.join(logger.run_dir,
+                                       "type_mass_cumsum.csv"))
+    np.testing.assert_allclose(type_mass_cumsum(synthetic_corpus), cum)
+
+
+def test_rare_words_experiment():
+    from ldagroupedgibbssampler_tpu.tui.topic_mass import (
+        rare_words_experiment)
+    cats = "/root/reference/src/main/resources/datasets/cats.txt"
+    rows = rare_words_experiment(cats, [0, 2], stoplist=None)
+    assert rows[0]["vocab"] >= rows[1]["vocab"]
+    assert rows[0]["corpus_tokens"] >= rows[1]["corpus_tokens"]
