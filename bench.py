@@ -48,6 +48,11 @@ def synth_corpus(seed=0):
 
 def main():
     import jax
+    # axon remote compiles are slow (minutes); persist compiled programs so
+    # repeat bench runs skip straight to execution
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from ldagroupedgibbssampler_tpu.config import LDAConfig
     from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler

@@ -70,6 +70,8 @@ class LDAConfig:
     instability_period: int = 0
     topic_batch_building_scheme: str = "even"
     percentage_split_size_topic: float = 1.0
+    # MetaTopicIndexBuilder's sub-builder list (sub_topic_index_builders key)
+    sub_topic_index_builders: Sequence[str] = field(default_factory=tuple)
     topic_index_building_scheme: str = "all"  # ALL default
     full_phi_period: int = 5
     percent_top_tokens: float = 0.2

@@ -95,6 +95,7 @@ class TpuLDASampler:
         self._iteration_listeners = []       # tui/IterationListener.java:5-7
         self.doc_batch_builder = None
         self.topic_index_builder = None
+        self.topic_batch_builder = None
 
     # ------------------------------------------------------------------
     # data loading (LDAGibbsSampler.addInstances / addTestInstances)
@@ -113,6 +114,7 @@ class TpuLDASampler:
             cfg, corpus.num_docs)
         self.topic_index_builder = randomscan.make_topic_index_builder(
             cfg, corpus)
+        self.topic_batch_builder = randomscan.make_topic_batch_builder(cfg)
         return self
 
     def add_test_instances(self, corpus: Corpus):
@@ -205,8 +207,20 @@ class TpuLDASampler:
                 it, self._delta_types()))
             self.pre_z()
             prev_nkw = self.state.nkw if self._needs_delta() else None
+            # topic-batch row selection (PercentageTopicBatchBuilder):
+            # unselected phi rows keep their previous draw — exact, since
+            # rows are independent Dirichlets given counts. Copy (+0) before
+            # the step because the step donates its input buffers.
+            topic_mask_np = self.topic_batch_builder.topic_mask(it)
+            prev_phi = (self.state.phi + 0 if not topic_mask_np.all()
+                        else None)
             self.state = step(self.state, doc_mask, type_mask)
             self.post_z()
+            if prev_phi is not None:
+                tm = jnp.asarray(topic_mask_np)
+                tm = tm[:, None] if self.nkw_layout == "kv" else tm[None, :]
+                self.state = self.state._replace(
+                    phi=jnp.where(tm, self.state.phi, prev_phi))
             self.post_phi()
             if prev_nkw is not None:
                 self._last_delta_types = np.asarray(

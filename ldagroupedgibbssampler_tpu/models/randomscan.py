@@ -205,6 +205,25 @@ class MixedMandelbrotDeltaNTopicIndexBuilder(TopicIndexBuilder):
         return builder.type_mask(iteration, delta_types)
 
 
+class MetaTopicIndexBuilder(TopicIndexBuilder):
+    """Round-robin over a configured list of sub-builders
+    (MetaTopicIndexBuilder.java:10-60, config key
+    `sub_topic_index_builders`)."""
+
+    def __init__(self, config, corpus, sub_builders=None):
+        super().__init__(config, corpus)
+        names = sub_builders or getattr(config, "sub_topic_index_builders",
+                                        None) or ("delta_n", "mandelbrot")
+        self.builders = [_TOPIC_INDEX_BUILDERS[n](config, corpus)
+                         for n in names]
+        self._idx = 0
+
+    def type_mask(self, iteration: int, delta_types=None) -> np.ndarray:
+        builder = self.builders[self._idx]
+        self._idx = (self._idx + 1) % len(self.builders)
+        return builder.type_mask(iteration, delta_types)
+
+
 _TOPIC_INDEX_BUILDERS = {
     "all": AllWordsTopicIndexBuilder,
     "delta_n": DeltaNTopicIndexBuilder,
@@ -212,6 +231,7 @@ _TOPIC_INDEX_BUILDERS = {
     "proportional": ProportionalTopicIndexBuilder,
     "top_words_random_fraction": TopWordsRandomFractionTopicIndexBuilder,
     "mixed_mandelbrot_delta_n": MixedMandelbrotDeltaNTopicIndexBuilder,
+    "meta": MetaTopicIndexBuilder,
 }
 
 
@@ -223,3 +243,60 @@ def make_topic_index_builder(config: LDAConfig, corpus) -> TopicIndexBuilder:
             f"{config.topic_index_building_scheme!r}; "
             f"known: {sorted(_TOPIC_INDEX_BUILDERS)}")
     return cls(config, corpus)
+
+
+# ---------------------------------------------------------------------------
+# topic batch builders (randomscan/topic/*TopicBatchBuilder.java)
+# ---------------------------------------------------------------------------
+class TopicBatchBuilder:
+    """Which phi ROWS (topics) get redrawn each iteration. The reference
+    additionally partitions the selected rows over phi-sampler threads
+    (EvenSplitTopicBatchBuilder.java:28-55) — partitioning is a no-op on
+    device, so only the row-selection semantics remain. Rows of phi are
+    independent Dirichlets given the counts, so keeping an unselected row's
+    previous value is the exact conditional."""
+
+    def __init__(self, config: LDAConfig):
+        self.config = config
+        self.num_topics = config.topics
+        self.rng = np.random.default_rng(config.effective_seed() ^ 0x70BB)
+
+    def topic_mask(self, iteration: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class EvenSplitTopicBatchBuilder(TopicBatchBuilder):
+    """All topic rows every iteration (EvenSplitTopicBatchBuilder.java)."""
+
+    def topic_mask(self, iteration: int) -> np.ndarray:
+        return np.ones(self.num_topics, bool)
+
+
+class PercentageTopicBatchBuilder(TopicBatchBuilder):
+    """Redraw ceil(percentage_split_size_topic × K) random topic rows per
+    iteration (PercentageTopicBatchBuilder.java:10-45)."""
+
+    def topic_mask(self, iteration: int) -> np.ndarray:
+        frac = float(self.config.percentage_split_size_topic)
+        if frac >= 1.0:
+            return np.ones(self.num_topics, bool)
+        n = max(1, int(np.ceil(self.num_topics * frac)))
+        mask = np.zeros(self.num_topics, bool)
+        mask[self.rng.choice(self.num_topics, size=n, replace=False)] = True
+        return mask
+
+
+_TOPIC_BATCH_BUILDERS = {
+    "even": EvenSplitTopicBatchBuilder,
+    "percentage": PercentageTopicBatchBuilder,
+}
+
+
+def make_topic_batch_builder(config: LDAConfig) -> TopicBatchBuilder:
+    cls = _TOPIC_BATCH_BUILDERS.get(config.topic_batch_building_scheme)
+    if cls is None:
+        raise ValueError(
+            "unknown topic_batch_building_scheme "
+            f"{config.topic_batch_building_scheme!r}; "
+            f"known: {sorted(_TOPIC_BATCH_BUILDERS)}")
+    return cls(config)

@@ -5,8 +5,8 @@ Replaces the reference's scalar JVM samplers with batched device draws:
   - Dirichlet rows: reference draws each row with per-coordinate Marsaglia
     gamma rejection (cc/mallet/util/ParallelRandoms.java:60-83,
     types/MarsagliaSparseDirichlet.java:31-55, types/ParallelDirichlet.java:46-70).
-    Here a single `jax.random.gamma` call draws the whole [K, V] (or [D, K])
-    matrix; XLA lowers the rejection loop to a masked `while_loop` on device.
+    Here a fixed-round vectorised Marsaglia-Tsang kernel draws the whole
+    [K, V] (or [D, K]) matrix in one fused pass (`_gamma_marsaglia`).
   - Conditional Dirichlet (types/ConditionalDirichlet.java): redraw a subset of
     coordinates of an existing draw, keeping the rest proportionally fixed.
   - Polya-Urn Dirichlet (types/PolyaUrnDirichlet.java:12-95): rows as
@@ -29,17 +29,67 @@ import jax.numpy as jnp
 DIRICHLET_FLOOR = 1e-30
 
 
-def gamma(key: jax.Array, shape_param, sample_shape=None, dtype=jnp.float32):
-    """Gamma(shape_param, 1) draws; vectorised Marsaglia-Tsang under the hood.
+# Unrolled rejection rounds for the Marsaglia-Tsang sampler. Squeeze
+# acceptance per round is >= ~0.95 for every boosted shape (a_eff >= 1), so
+# the all-rounds-reject probability is <= 0.05^8 ~ 4e-11 per element; those
+# vanishing tail events fall back to the distribution mode d.
+_MARSAGLIA_ROUNDS = 8
 
-    Reference: cc/mallet/util/ParallelRandoms.java:60-83 (Marsaglia-Tsang with
-    the u^{1/alpha} boost for alpha < 1). jax.random.gamma implements the same
-    algorithm as a device-side rejection loop, so we use it directly.
+
+def _gamma_marsaglia(key: jax.Array, a: jax.Array,
+                     rounds: int = _MARSAGLIA_ROUNDS,
+                     dtype=jnp.float32) -> jax.Array:
+    """Vectorised Marsaglia-Tsang Gamma(a, 1) with a FIXED unrolled number
+    of rejection rounds — the TPU-native replacement for both the
+    reference's scalar loop (cc/mallet/util/ParallelRandoms.java:60-83) and
+    jax.random.gamma's per-element `while_loop` (which executes orders of
+    magnitude slower on TPU for variable concentrations: measured 12-21 s
+    for a [20000, 100] draw vs ~1 ms for this kernel on v5e). Everything
+    here is fused elementwise math: `rounds` passes of
+    (normal, uniform, accept-test), then the u^{1/a} boost for a < 1
+    (same boost as ParallelRandoms.rgamma's alpha<1 path).
+    """
+    a = jnp.asarray(a, dtype)
+    shape = a.shape
+    a_eff = jnp.where(a < 1.0, a + 1.0, a)
+    d = a_eff - (1.0 / 3.0)
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    tiny = jnp.finfo(dtype).tiny
+    k_boost, key = jax.random.split(key)
+    out = d  # overwritten on first acceptance; kept only in the ~4e-11 tail
+    accepted = jnp.zeros(shape, bool)
+    for _ in range(rounds):
+        key, kx, ku = jax.random.split(key, 3)
+        x = jax.random.normal(kx, shape, dtype)
+        v1 = 1.0 + c * x
+        v = v1 * v1 * v1
+        u = jax.random.uniform(ku, shape, dtype, minval=tiny)
+        ok = (v > 0) & (jnp.log(u) < 0.5 * x * x + d - d * v
+                        + d * jnp.log(jnp.where(v > 0, v, 1.0)))
+        out = jnp.where(ok & ~accepted, d * v, out)
+        accepted = accepted | ok
+    ub = jax.random.uniform(k_boost, shape, dtype, minval=tiny)
+    # a < 1 boost: G(a) = G(a+1) * U^(1/a); exp/log form stays finite and
+    # maps a -> 0 to an exact 0 draw (Gamma(0) is a point mass at 0)
+    boost = jnp.where(a < 1.0,
+                      jnp.exp(jnp.log(ub) / jnp.maximum(a, tiny)), 1.0)
+    return out * boost
+
+
+def gamma(key: jax.Array, shape_param, sample_shape=None, dtype=jnp.float32,
+          method: str = "marsaglia"):
+    """Gamma(shape_param, 1) draws.
+
+    `method="marsaglia"` (default) uses the fixed-round vectorised kernel
+    above; `method="exact"` falls back to jax.random.gamma's exhaustive
+    rejection loop (slow on TPU, bit-exact rejection semantics).
     """
     shape_param = jnp.asarray(shape_param, dtype)
-    if sample_shape is None:
-        sample_shape = shape_param.shape
-    return jax.random.gamma(key, shape_param, shape=sample_shape, dtype=dtype)
+    if sample_shape is not None and tuple(sample_shape) != shape_param.shape:
+        shape_param = jnp.broadcast_to(shape_param, sample_shape)
+    if method == "exact":
+        return jax.random.gamma(key, shape_param, dtype=dtype)
+    return _gamma_marsaglia(key, shape_param, dtype=dtype)
 
 
 def dirichlet(key: jax.Array, concentration, dtype=jnp.float32):
@@ -50,7 +100,7 @@ def dirichlet(key: jax.Array, concentration, dtype=jnp.float32):
     reference's ParallelDirichlet (types/ParallelDirichlet.java:46-70).
     """
     conc = jnp.asarray(concentration, dtype)
-    g = jax.random.gamma(key, conc, dtype=dtype)
+    g = _gamma_marsaglia(key, conc, dtype=dtype)
     g = jnp.maximum(g, DIRICHLET_FLOOR)
     return g / jnp.sum(g, axis=-1, keepdims=True)
 
@@ -62,7 +112,7 @@ def log_dirichlet(key: jax.Array, concentration, dtype=jnp.float32):
     is needed; avoids underflow for very small concentrations (beta=0.01).
     """
     conc = jnp.asarray(concentration, dtype)
-    log_g = jnp.log(jnp.maximum(jax.random.gamma(key, conc, dtype=dtype),
+    log_g = jnp.log(jnp.maximum(_gamma_marsaglia(key, conc, dtype=dtype),
                                 DIRICHLET_FLOOR))
     return log_g - jax.scipy.special.logsumexp(log_g, axis=-1, keepdims=True)
 
@@ -88,10 +138,10 @@ def conditional_dirichlet(key: jax.Array, previous, concentration, mask):
     conc_sub_sum = jnp.sum(jnp.where(mask, conc, 0.0), axis=-1, keepdims=True)
     conc_keep_sum = jnp.sum(jnp.where(mask, 0.0, conc), axis=-1, keepdims=True)
     # Mass assigned to the redrawn block.
-    b = jax.random.beta(k_beta, jnp.maximum(conc_sub_sum, 1e-6),
-                        jnp.maximum(conc_keep_sum, 1e-6))
+    b = beta(k_beta, jnp.maximum(conc_sub_sum, 1e-6),
+             jnp.maximum(conc_keep_sum, 1e-6))
     # Fresh Dirichlet over the masked block (masked-out coords get ~0 weight).
-    g = jax.random.gamma(k_sub, jnp.where(mask, conc, 1.0))
+    g = _gamma_marsaglia(k_sub, jnp.where(mask, conc, 1.0))
     g = jnp.where(mask, jnp.maximum(g, DIRICHLET_FLOOR), 0.0)
     sub = g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), DIRICHLET_FLOOR)
 
@@ -140,7 +190,7 @@ def vs_dirichlet(key: jax.Array, counts, beta: float, vs_prior: float = 0.5):
     k_inc, k_dir = jax.random.split(key)
     include = (counts > 0) | (
         jax.random.uniform(k_inc, counts.shape) < vs_prior)
-    g = jax.random.gamma(k_dir, counts + beta)
+    g = _gamma_marsaglia(k_dir, counts + beta)
     g = jnp.where(include, jnp.maximum(g, DIRICHLET_FLOOR), 0.0)
     total = jnp.sum(g, axis=-1, keepdims=True)
     probs = g / jnp.maximum(total, DIRICHLET_FLOOR)
@@ -172,5 +222,16 @@ def binomial(key: jax.Array, n, p, shape=None):
 
 
 def beta(key: jax.Array, a, b, shape=None):
-    """Beta draws (util/ParallelRandoms.java:46-50)."""
-    return jax.random.beta(key, a, b, shape=shape)
+    """Beta draws (util/ParallelRandoms.java:46-50) as the ratio of two
+    Marsaglia gammas (jax.random.beta shares jax.random.gamma's slow
+    while_loop lowering on TPU)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if shape is None:
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    k1, k2 = jax.random.split(key)
+    g1 = _gamma_marsaglia(k1, a)
+    g2 = _gamma_marsaglia(k2, b)
+    return g1 / jnp.maximum(g1 + g2, DIRICHLET_FLOOR)

@@ -139,3 +139,56 @@ def test_classname_mapping(tmp_path):
     cfg = parse_ini(str(p)).activate("a")
     assert cfg.batch_building_scheme == "percentage"
     assert cfg.topic_index_building_scheme == "delta_n"
+
+
+class TestTopicBatchBuilders:
+    def test_even_split_selects_all(self):
+        from ldagroupedgibbssampler_tpu.config import LDAConfig
+        from ldagroupedgibbssampler_tpu.models import randomscan
+        cfg = LDAConfig(topics=8, seed=3)
+        b = randomscan.make_topic_batch_builder(cfg)
+        assert b.topic_mask(1).all()
+
+    def test_percentage_selects_fraction(self):
+        from ldagroupedgibbssampler_tpu.config import LDAConfig
+        from ldagroupedgibbssampler_tpu.models import randomscan
+        cfg = LDAConfig(topics=10, seed=3,
+                        topic_batch_building_scheme="percentage",
+                        percentage_split_size_topic=0.3)
+        b = randomscan.make_topic_batch_builder(cfg)
+        m1, m2 = b.topic_mask(1), b.topic_mask(2)
+        assert m1.sum() == 3 and m2.sum() == 3
+        assert m1.shape == (10,)
+
+    def test_percentage_rows_kept_in_sampler(self, synthetic_corpus):
+        """Unselected phi rows must keep their previous values across an
+        iteration (exact conditional, rows independent given counts)."""
+        import numpy as np
+
+        from ldagroupedgibbssampler_tpu.config import LDAConfig
+        from ldagroupedgibbssampler_tpu.models.ggs import (
+            LDAGroupedGibbsSampler)
+        cfg = LDAConfig(scheme="ggs", topics=6, alpha=0.5, beta=0.01,
+                        seed=5, exec_time=-1,
+                        topic_batch_building_scheme="percentage",
+                        percentage_split_size_topic=0.34)
+        m = LDAGroupedGibbsSampler(cfg)
+        m.add_instances(synthetic_corpus)
+        phi0 = m.get_phi()
+        m.sample(1)
+        phi1 = m.get_phi()
+        unchanged = np.all(np.isclose(phi0, phi1, atol=0), axis=1)
+        assert unchanged.sum() == 3          # ceil(0.34*6)=3 redrawn, 3 kept
+
+    def test_meta_topic_index_builder_round_robin(self, synthetic_corpus):
+        from ldagroupedgibbssampler_tpu.config import LDAConfig
+        from ldagroupedgibbssampler_tpu.models import randomscan
+        cfg = LDAConfig(topics=4, seed=3,
+                        topic_index_building_scheme="meta",
+                        sub_topic_index_builders=("all", "mandelbrot"),
+                        percent_top_tokens=0.1, full_phi_period=-1)
+        b = randomscan.make_topic_index_builder(cfg, synthetic_corpus)
+        m1 = b.type_mask(1)
+        m2 = b.type_mask(2)
+        assert m1.all()                      # "all" builder first
+        assert 0 < m2.sum() < len(m2)        # then mandelbrot top-10%
