@@ -108,8 +108,11 @@ class TpuLDASampler:
         if key is None:
             key = jax.random.key(cfg.effective_seed(), impl=cfg.prng_impl)
         self._prepare_device_data(corpus)
-        # one fused compile for the whole init instead of op-by-op eager
-        self.state = jax.jit(self._init_state)(key)
+        # one fused compile for the whole init instead of op-by-op eager;
+        # device data goes in as arguments, not closure constants (see
+        # _with_rebound)
+        self.state = jax.jit(self._with_rebound(self._init_state))(
+            self._device_arrays(), key)
         self.doc_batch_builder = randomscan.make_document_batch_builder(
             cfg, corpus.num_docs)
         self.topic_index_builder = randomscan.make_topic_index_builder(
@@ -183,9 +186,43 @@ class TpuLDASampler:
               type_mask: jax.Array) -> LDAState:
         raise NotImplementedError
 
+    # ------------------------------------------------------------------
+    # closure-to-argument conversion for jit
+    #
+    # Device-resident corpus data (token blocks, doc ids, masks, alias
+    # tables, priors...) lives on `self`, so a plain jax.jit(self._step)
+    # would capture those arrays as *constants baked into the HLO*. On the
+    # axon TPU that inflates remote compiles from seconds to minutes
+    # (measured 299 s -> 3.5 s for GGS init on the 20NG-sized corpus when
+    # the same arrays are passed as arguments). These helpers collect every
+    # jax.Array attribute and rebind it to tracers for the duration of the
+    # trace, turning all of them into ordinary jit arguments with no change
+    # to the sampler implementations.
+    # ------------------------------------------------------------------
+    def _device_arrays(self) -> dict:
+        return {name: val for name, val in vars(self).items()
+                if name != "state" and isinstance(val, jax.Array)}
+
+    def _with_rebound(self, fn):
+        """Wrap `fn(*args)` as `g(arrs, *args)` where `arrs` rebinds the
+        self.* device arrays while tracing."""
+        def g(arrs, *args):
+            saved = {n: getattr(self, n) for n in arrs}
+            try:
+                for n, v in arrs.items():
+                    setattr(self, n, v)
+                return fn(*args)
+            finally:
+                for n, v in saved.items():
+                    setattr(self, n, v)
+        return g
+
     def _get_step_jit(self):
         if self._step_jit is None:
-            self._step_jit = jax.jit(self._step, donate_argnums=(0,))
+            jitted = jax.jit(self._with_rebound(self._step),
+                             donate_argnums=(1,))
+            self._step_jit = lambda state, doc_mask, type_mask: jitted(
+                self._device_arrays(), state, doc_mask, type_mask)
         return self._step_jit
 
     # ------------------------------------------------------------------

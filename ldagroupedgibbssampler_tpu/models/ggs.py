@@ -170,7 +170,8 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
                 return self._step(st, doc_mask, None), None
             out, _ = jax.lax.scan(body, state, None, length=n)
             return out
-        return jax.jit(run, donate_argnums=(0,))
+        jitted = jax.jit(self._with_rebound(run), donate_argnums=(1,))
+        return lambda state: jitted(self._device_arrays(), state)
 
     def sample_chunked(self, iterations: int, chunk: int = 10):
         fn = self._multi_step_fn(chunk)

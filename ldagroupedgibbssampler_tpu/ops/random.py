@@ -56,9 +56,11 @@ def _gamma_marsaglia(key: jax.Array, a: jax.Array,
     c = 1.0 / jnp.sqrt(9.0 * d)
     tiny = jnp.finfo(dtype).tiny
     k_boost, key = jax.random.split(key)
-    out = d  # overwritten on first acceptance; kept only in the ~4e-11 tail
-    accepted = jnp.zeros(shape, bool)
-    for _ in range(rounds):
+
+    # fixed-trip fori_loop (not a Python unroll: the unrolled form made the
+    # HLO ~8x larger and pushed axon's remote compile past 9 minutes)
+    def _round(_, carry):
+        key, out, accepted = carry
         key, kx, ku = jax.random.split(key, 3)
         x = jax.random.normal(kx, shape, dtype)
         v1 = 1.0 + c * x
@@ -67,7 +69,11 @@ def _gamma_marsaglia(key: jax.Array, a: jax.Array,
         ok = (v > 0) & (jnp.log(u) < 0.5 * x * x + d - d * v
                         + d * jnp.log(jnp.where(v > 0, v, 1.0)))
         out = jnp.where(ok & ~accepted, d * v, out)
-        accepted = accepted | ok
+        return key, out, accepted | ok
+
+    # `out` starts at the mode d: kept only in the ~4e-11 all-reject tail
+    _, out, accepted = jax.lax.fori_loop(
+        0, rounds, _round, (key, d, jnp.zeros(shape, bool)))
     ub = jax.random.uniform(k_boost, shape, dtype, minval=tiny)
     # a < 1 boost: G(a) = G(a+1) * U^(1/a); exp/log form stays finite and
     # maps a -> 0 to an exact 0 draw (Gamma(0) is a point mass at 0)
