@@ -356,6 +356,15 @@ class TpuLDASampler:
             self.logger.log_stats_row(stats.as_row())
             if cfg.log_tokens_per_topic:
                 self.logger.log_tokens_per_topic(np.asarray(st.nk))
+        # device resource metrics every RESOURCE_LOG_INTERVAL iterations —
+        # the JMX MemoryMXBean/ThreadMXBean equivalent
+        # (UncollapsedParallelLDA.java:1972-2048, RESOURCE_LOG_INTERVAL=100)
+        if self.logger and it % 100 == 0:
+            try:
+                mem = jax.local_devices()[0].memory_stats() or {}
+            except Exception:
+                mem = {}
+            self.logger.log_device_metrics(it, mem)
 
     def _accumulate_phi_mean(self, it: int, total_iters: int):
         cfg = self.config

@@ -138,7 +138,11 @@ def main(argv=None):
             logger = RunLogger.create_run_suite(out_dir, subconfig=name)
             print(f"=== run {run + 1}/{no_runs} subconfig [{name}] "
                   f"scheme={cfg.scheme} -> {logger.run_dir}")
-            run_subconfig(cfg, logger, common_seed, model_holder=models)
+            # console capture into the run dir (TeeStream,
+            # tui/ParallelLDA.java:152-157)
+            from ldagroupedgibbssampler_tpu.utils.tee import tee_console
+            with tee_console(os.path.join(logger.run_dir, "console.txt")):
+                run_subconfig(cfg, logger, common_seed, model_holder=models)
             logger.close()
 
 

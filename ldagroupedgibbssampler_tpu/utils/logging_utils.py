@@ -114,6 +114,14 @@ class RunLogger:
         self.save_matrix_csv(f"z_{iteration}.csv",
                              np.asarray(z).reshape(1, -1), fmt="%d")
 
+    def log_device_metrics(self, iteration: int, mem_stats: dict):
+        """Device memory metrics — the JMX resource log equivalent
+        (`log-detail-metrics.txt`, UncollapsedParallelLDA.java:1984-2028)."""
+        keys = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+                "num_allocs")
+        row = "\t".join(f"{k}={mem_stats.get(k, '-')}" for k in keys)
+        self._append("log-detail-metrics.txt", f"{iteration}\t{row}")
+
     def save_lines(self, filename: str, lines: Iterable[str]):
         with open(os.path.join(self.run_dir, filename), "w",
                   encoding="utf-8") as f:
