@@ -5,9 +5,16 @@ loops (SURVEY.md §3.2 hot loop, UncollapsedParallelLDA.java:1466-1545). Each
 sweep is a single jit-able function: gathers of log(phi)/log(theta) rows,
 K-wide logits, Gumbel-max categorical draws, all vectorised over a block of
 tokens (flat layout) or over all documents at one token position (doc-major
-layout). A Pallas kernel variant of the flat sweep lives in
-`pallas_kernels.py`; these XLA versions are the portable reference path and
-what the CPU test mesh runs.
+layout).
+
+A Pallas kernel for the sweep was evaluated and rejected on this target:
+the z-draw needs a per-token row gather from the theta/phi tables, and
+Mosaic on the available TPU backend supports neither vectorised VMEM
+gathers (`jnp.take` / fancy indexing / take_along_axis all fail to lower)
+nor a per-row `fori_loop` copy (compiler crash). The one-hot-matmul
+alternative requires doc- and type-locality simultaneously, which no
+single token ordering provides. The fused XLA sweep (see PERF.md for
+measurements) is the fastest formulation available.
 
 Sweep semantics per scheme:
   - `sample_z_flat`     — token draws independent given (row_logits, phi):
