@@ -16,6 +16,8 @@ import math
 import os
 from collections import Counter
 
+import numpy as np
+
 from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
 from ldagroupedgibbssampler_tpu.corpus.tokenizer import (load_stoplist,
                                                          tokenize)
@@ -47,19 +49,66 @@ def keep_tfidf_top(doc_tokens: list[list[str]], vocab_size: int) -> set[str]:
     return {t for _score, t in scored[:vocab_size]}
 
 
+def _build_corpus_native(raw_docs, stoplist, rare_threshold: int,
+                         tokenizer_mode: str, max_doc_tokens,
+                         keep_empty_docs: bool) -> Corpus:
+    """Native (C++) fast path: tokenize+vocab in one call
+    (native/fast_tokenizer.cpp), then rare-prune/remap on the id arrays.
+    Produces bit-identical output to the Python path (asserted in
+    tests/test_native_loader.py)."""
+    from ldagroupedgibbssampler_tpu.corpus.native_loader import (
+        tokenize_corpus_native)
+    texts = [d.text for d in raw_docs]
+    tokens, offsets, nvocab = tokenize_corpus_native(
+        texts, stoplist, mode=tokenizer_mode, max_tokens=max_doc_tokens)
+    if rare_threshold > 0 and len(nvocab):
+        counts = np.bincount(tokens, minlength=len(nvocab))
+        kept = counts >= rare_threshold
+        # compact remap preserves first-occurrence order (original native
+        # ids are already first-occurrence ordered)
+        new_id = np.cumsum(kept) - 1
+        keep_tok = kept[tokens]
+        cum = np.concatenate([[0], np.cumsum(keep_tok, dtype=np.int64)])
+        lengths = cum[offsets[1:]] - cum[offsets[:-1]]
+        tokens = new_id[tokens[keep_tok]].astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        nvocab = [w for w, k in zip(nvocab, kept) if k]
+    if not keep_empty_docs:
+        lengths = np.diff(offsets)
+        keep_doc = lengths > 0
+        # tokens stay contiguous; dropping empty docs only shrinks offsets
+        offsets = np.concatenate([[0], np.cumsum(lengths[keep_doc])])
+        raw_docs = [d for d, k in zip(raw_docs, keep_doc) if k]
+    return Corpus(tokens=tokens, doc_offsets=offsets, vocab=list(nvocab),
+                  labels=[d.label for d in raw_docs],
+                  doc_ids=[d.doc_id for d in raw_docs])
+
+
 def build_corpus(raw_docs: list[RawDoc], stoplist_path: str | None = None,
                  rare_threshold: int = 0, tfidf_vocab_size: int = -1,
                  tokenizer_mode: str = "simple", min_token_len: int = 2,
                  max_doc_tokens: int | None = None,
                  vocab: list[str] | None = None,
-                 keep_empty_docs: bool = False) -> Corpus:
+                 keep_empty_docs: bool = False,
+                 native: bool = True) -> Corpus:
     """Tokenize + prune + integerise.
 
     If `vocab` is given (e.g. building a test set against a trained model's
     alphabet, LDAUtils.loadInstancesKeep's keep-alphabet path), pruning is
     skipped and out-of-vocabulary tokens are dropped.
+
+    The C++ tokenizer (native/fast_tokenizer.cpp) handles the common path
+    (no explicit vocab, no TF-IDF, default min token length) when available;
+    `native=False` forces the pure-Python reference implementation.
     """
     stoplist = load_stoplist(stoplist_path)
+    if (native and vocab is None and tfidf_vocab_size <= 0
+            and min_token_len == 2):
+        from ldagroupedgibbssampler_tpu.corpus import native_loader
+        if native_loader.native_available():
+            return _build_corpus_native(raw_docs, stoplist, rare_threshold,
+                                        tokenizer_mode, max_doc_tokens,
+                                        keep_empty_docs)
     doc_tokens = [tokenize(d.text, stoplist, mode=tokenizer_mode,
                            min_len=min_token_len, max_tokens=max_doc_tokens)
                   for d in raw_docs]
