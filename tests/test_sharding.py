@@ -82,3 +82,23 @@ def test_dryrun_multichip_entrypoint():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_adlda_runs_and_conserves(mesh8, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.parallel.sharded_adlda import ShardedADLDA
+    cfg = LDAConfig(scheme="adlda", topics=3, alpha=0.5, beta=0.01, seed=9,
+                    exec_time=-1)
+    m = ShardedADLDA(cfg, mesh=mesh8)
+    m.add_instances(synthetic_corpus)
+    m.sample(15)
+    nkw = m.get_topic_type_counts()
+    assert nkw.sum() == synthetic_corpus.num_tokens
+    ndk = m.get_document_topic_matrix()
+    assert ndk.sum() == synthetic_corpus.num_tokens
+    # learns the planted 3-block structure
+    import numpy as np
+    from ldagroupedgibbssampler_tpu.evaluation.topwords import top_words
+    top = top_words(nkw, synthetic_corpus.vocab, 5)
+    pure = sum(1 for ws in top if len({w.split("_")[0] for w in ws}) == 1)
+    assert pure >= 2, top
