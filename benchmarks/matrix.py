@@ -1,0 +1,153 @@
+"""The BASELINE.md measurement matrix, self-measured.
+
+Runs the five configurations from BASELINE.json on whatever hardware is
+present (items needing a multi-chip mesh use the 8-virtual-device CPU mesh
+when only one TPU chip is available; the driver's headline single-chip
+number comes from bench.py) and writes one JSON report.
+
+Usage:  python benchmarks/matrix.py [--out BENCH_MATRIX.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _loop_time(step, state, dm, n=10):
+    import jax
+    state = step(state, dm, None)
+    _ = np.asarray(state.nk)          # axon: block_until_ready is unreliable
+    t0 = time.perf_counter()
+    for _i in range(n):
+        state = step(state, dm, None)
+    _ = np.asarray(state.nk)
+    return (time.perf_counter() - t0) / n, state
+
+
+def _throughput(model, corpus, iters=10):
+    import jax.numpy as jnp
+    step = model._get_step_jit()
+    dm = jnp.ones((corpus.num_docs,), bool)
+    dt, _ = _loop_time(step, model.state, dm, n=iters)
+    return corpus.num_tokens / dt
+
+
+def synth_20ng(v=20000, d=11269, mean_len=120, seed=0):
+    import bench
+    return bench.synth_corpus(seed)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_MATRIX.json")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp  # noqa: F401
+
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.corpus import load_dataset
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+
+    report = {"platform": str(jax.devices()[0]),
+              "num_devices": jax.device_count(), "results": {}}
+    iters = 3 if args.quick else 10
+
+    # 1. CGS on cats (the plda-cats-test.cfg settings) — correctness oracle
+    cats = load_dataset(
+        "/root/reference/src/main/resources/datasets/cats.txt",
+        stoplist_path=None, rare_threshold=0)
+    cfg1 = LDAConfig(scheme="collapsed", topics=3, alpha=5.0, beta=7.0,
+                     seed=2019, exec_time=-1)
+    m1 = create_model(cfg1)
+    m1.add_instances(cats)
+    t0 = time.perf_counter()
+    m1.sample(20)
+    dt = (time.perf_counter() - t0) / 20
+    from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+        model_log_likelihood)
+    ll_cgs = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
+                                        m1.get_alpha(), m1.get_beta()))
+    report["results"]["1_cgs_cats"] = {
+        "tokens_per_sec": round(cats.num_tokens / dt, 1),
+        "model_ll": round(ll_cgs, 1)}
+
+    corpus = synth_20ng()
+
+    # 2. PCGS on 20NG-scale, K=20
+    cfg2 = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
+                     seed=2019, exec_time=-1)
+    m2 = create_model(cfg2)
+    m2.add_instances(corpus)
+    report["results"]["2_pcgs_20ng_k20"] = {
+        "tokens_per_sec": round(_throughput(m2, corpus, iters), 1)}
+
+    # 3. GGS on 20NG-scale, K=100 (the headline; bench.py measures the
+    #    fused multi-iteration variant)
+    cfg3 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
+                     seed=2019, exec_time=-1)
+    m3 = create_model(cfg3)
+    m3.add_instances(corpus)
+    report["results"]["3_ggs_20ng_k100"] = {
+        "tokens_per_sec": round(_throughput(m3, corpus, iters), 1)}
+
+    # 3b. GGS quality: held-out LL parity vs the CGS oracle on cats
+    cfgq = LDAConfig(scheme="ggs", topics=3, alpha=5.0, beta=7.0, seed=2019,
+                     exec_time=-1)
+    mq = create_model(cfgq)
+    mq.add_instances(cats)
+    mq.sample(100)
+    ll_ggs = float(model_log_likelihood(mq.state.ndk, mq._nkw_kv(),
+                                        mq.get_alpha(), mq.get_beta()))
+    m1.sample(80)   # bring the oracle to 100 iterations too
+    ll_cgs100 = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
+                                           m1.get_alpha(), m1.get_beta()))
+    report["results"]["3b_ggs_vs_cgs_ll_cats"] = {
+        "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
+        "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
+
+    # 4 + 3c. Sharded GGS / ADLDA over the available mesh
+    if jax.device_count() >= 2:
+        from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
+        from ldagroupedgibbssampler_tpu.parallel.sharded_adlda import (
+            ShardedADLDA)
+        from ldagroupedgibbssampler_tpu.parallel.sharded_ggs import ShardedGGS
+        mesh = make_mesh((jax.device_count(),), ("data",))
+        small = synth_20ng(seed=1)
+        cfg4 = LDAConfig(scheme="ggs", topics=20, alpha=0.5, beta=0.01,
+                         seed=2019, exec_time=-1)
+        ms = ShardedGGS(cfg4, mesh=mesh)
+        ms.add_instances(small)
+        report["results"]["3c_sharded_ggs"] = {
+            "devices": jax.device_count(),
+            "tokens_per_sec": round(_throughput(ms, small, iters), 1)}
+        ma = ShardedADLDA(cfg4.replace(scheme="adlda"), mesh=mesh)
+        ma.add_instances(small)
+        report["results"]["4_sharded_adlda"] = {
+            "devices": jax.device_count(),
+            "tokens_per_sec": round(_throughput(ma, small, iters), 1)}
+
+    # 5. GGS at K=1000 (large-K dense path)
+    cfg5 = LDAConfig(scheme="ggs", topics=1000, alpha=0.05, beta=0.01,
+                     seed=2019, exec_time=-1)
+    m5 = create_model(cfg5)
+    m5.add_instances(corpus)
+    report["results"]["5_ggs_20ng_k1000"] = {
+        "tokens_per_sec": round(_throughput(m5, corpus,
+                                            max(3, iters // 2)), 1)}
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
