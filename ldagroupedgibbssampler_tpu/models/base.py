@@ -243,7 +243,10 @@ class TpuLDASampler:
             type_mask = jnp.asarray(self.topic_index_builder.type_mask(
                 it, self._delta_types()))
             self.pre_z()
-            prev_nkw = self.state.nkw if self._needs_delta() else None
+            # copy (+0), not alias: the step donates its input buffers
+            need_prev = (self._needs_delta() or self._in_interval(
+                it, cfg.dn_diagnostic_interval))
+            prev_nkw = self.state.nkw + 0 if need_prev else None
             # topic-batch row selection (PercentageTopicBatchBuilder):
             # unselected phi rows keep their previous draw — exact, since
             # rows are independent Dirichlets given counts. Copy (+0) before
@@ -265,6 +268,7 @@ class TpuLDASampler:
             if cfg.paranoid:
                 self._paranoid_checks()
             self._periodic_logging(it, t0)
+            self._interval_dumps(it, prev_nkw)
             self._accumulate_phi_mean(it, iterations)
             if (cfg.hyperparam_optim_interval > 0
                     and it % cfg.hyperparam_optim_interval == 0):
@@ -365,6 +369,48 @@ class TpuLDASampler:
             except Exception:
                 mem = {}
             self.logger.log_device_metrics(it, mem)
+
+    @staticmethod
+    def _in_interval(it: int, intervals) -> bool:
+        """intervals = flat (a1, b1, a2, b2, ...) iteration windows
+        (Configuration-README.txt `diagnostic_interval`)."""
+        pairs = list(intervals or ())
+        return any(a <= it <= b for a, b in zip(pairs[::2], pairs[1::2]))
+
+    def _interval_dumps(self, it: int, prev_nkw):
+        """Windowed artifact dumps (UncollapsedParallelLDA.java:829-833 and
+        :945-968): binary phi/N/M snapshots + z CSV inside
+        `diagnostic_interval`, delta-N magnitude inside
+        `dn_diagnostic_interval`, doc-topic / top-word console prints
+        inside their windows."""
+        cfg = self.config
+        if self.logger is None:
+            return
+        if self._in_interval(it, cfg.diagnostic_interval):
+            from ldagroupedgibbssampler_tpu.utils import matrix_io
+            base = self.logger.run_dir
+            matrix_io.write_binary_double_matrix(
+                self.get_phi(), it, os.path.join(base, "phi"))
+            matrix_io.write_binary_int_matrix(
+                self.get_topic_type_counts(), it, os.path.join(base, "N"))
+            matrix_io.write_binary_int_matrix(
+                self.get_document_topic_matrix(), it,
+                os.path.join(base, "M"))
+            self.logger.save_z(it, self.get_z_indicators())
+        if (self._in_interval(it, cfg.dn_diagnostic_interval)
+                and prev_nkw is not None):
+            delta = int(np.abs(np.asarray(self.state.nkw, np.int64)
+                               - np.asarray(prev_nkw, np.int64)).sum())
+            self.logger._append("delta_n.txt", f"{it}\t{delta}")
+        if (self._in_interval(it, cfg.print_ndocs_interval)
+                and cfg.print_ndocs_cnt > 0):
+            theta = self.get_theta_estimate()[: cfg.print_ndocs_cnt]
+            print(f"Iteration {it} doc-topic means:\n{np.round(theta, 4)}")
+        if (self._in_interval(it, cfg.print_ntopwords_interval)
+                and cfg.print_ntopwords_cnt > 0):
+            for k, ws in enumerate(self.get_top_words(
+                    cfg.print_ntopwords_cnt)):
+                print(f"Iteration {it} topic {k}: {' '.join(ws)}")
 
     def _accumulate_phi_mean(self, it: int, total_iters: int):
         cfg = self.config

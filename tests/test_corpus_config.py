@@ -192,3 +192,39 @@ class TestTopicBatchBuilders:
         m2 = b.type_mask(2)
         assert m1.all()                      # "all" builder first
         assert 0 < m2.sum() < len(m2)        # then mandelbrot top-10%
+
+
+class TestIntervalDumps:
+    def test_diagnostic_interval_snapshots(self, tmp_path, synthetic_corpus):
+        """Binary phi/N/M snapshots + z CSV written inside the
+        diagnostic_interval window (UncollapsedParallelLDA.java:829-833)."""
+        import glob
+        import os
+
+        from ldagroupedgibbssampler_tpu.config import LDAConfig
+        from ldagroupedgibbssampler_tpu.models.ggs import (
+            LDAGroupedGibbsSampler)
+        from ldagroupedgibbssampler_tpu.utils.logging_utils import RunLogger
+        from ldagroupedgibbssampler_tpu.utils.matrix_io import (
+            read_binary_double_matrix)
+        cfg = LDAConfig(scheme="ggs", topics=3, alpha=0.5, beta=0.01,
+                        seed=4, exec_time=-1,
+                        diagnostic_interval=(3, 4),
+                        dn_diagnostic_interval=(2, 5))
+        logger = RunLogger(str(tmp_path / "run"))
+        m = LDAGroupedGibbsSampler(cfg, logger=logger)
+        m.add_instances(synthetic_corpus)
+        m.sample(6)
+        phis = sorted(glob.glob(str(tmp_path / "run" / "phi_*.BINARY")))
+        assert len(phis) == 2      # iterations 3 and 4
+        V = synthetic_corpus.num_types
+        phi = read_binary_double_matrix(phis[0], 3, V)
+        import numpy as np
+        np.testing.assert_allclose(phi.sum(axis=1), 1.0, atol=1e-4)
+        assert glob.glob(str(tmp_path / "run" / "N_*.BINARY"))
+        assert glob.glob(str(tmp_path / "run" / "M_*.BINARY"))
+        assert os.path.exists(tmp_path / "run" / "z_3.csv")
+        with open(tmp_path / "run" / "delta_n.txt") as f:
+            rows = [l.split("\t") for l in f]
+        assert [int(r[0]) for r in rows] == [2, 3, 4, 5]
+        assert all(int(r[1]) > 0 for r in rows)
