@@ -101,6 +101,15 @@ def _dump_artifacts(model, corpus, cfg: LDAConfig, logger: RunLogger):
     if cfg.save_doc_lengths:
         logger.save_lines(cfg.doc_lengths_filename,
                           [str(int(x)) for x in corpus.doc_lengths()])
+    if cfg.save_corpus:
+        # integer corpus dump, one doc per line (LDAUtils.extractCorpus
+        # :2073)
+        lines = []
+        for d in range(corpus.num_docs):
+            s, e = corpus.doc_offsets[d], corpus.doc_offsets[d + 1]
+            lines.append(",".join(str(int(t))
+                                  for t in corpus.tokens[s:e]))
+        logger.save_lines("corpus.txt", lines)
     # topic diagnostics CSV (TopicModelDiagnosticsPlain, ParallelLDA.java
     # :219-225)
     try:
