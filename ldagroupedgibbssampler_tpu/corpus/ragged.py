@@ -35,6 +35,25 @@ class WSortedBlocks:
 
 
 @dataclass
+class AlignedBlocks:
+    """Window-aligned type-sorted token blocks (see Corpus.aligned_blocks).
+
+    The layout contract consumed by ops/pallas_counts.blocked_label_counts:
+    blocks arrive in nondecreasing window order, each block's tokens fall in
+    ONE aligned `vspan`-wide id window, the first block per window is
+    flagged, padding slots hold the sentinel `vspan`.
+    """
+    w_local: np.ndarray    # [NB, B] type id minus win*vspan; vspan = padding
+    doc_ids: np.ndarray    # [NB, B] global doc id of each token (0 on pads)
+    mask: np.ndarray       # [NB, B] validity
+    win: np.ndarray        # [NB] aligned window index (nondecreasing)
+    first: np.ndarray      # [NB] 1 on the first block of each window
+    flat_index: np.ndarray  # [NB, B] original corpus token index (-1 = pad)
+    vspan: int
+    nwin: int
+
+
+@dataclass
 class Corpus:
     tokens: np.ndarray                 # int32 [N]
     doc_offsets: np.ndarray            # int64 [D+1]
@@ -174,6 +193,49 @@ class Corpus:
             flat_index[i, : e - s] = order[s:e]
         return WSortedBlocks(w_local=w_local, doc_ids=doc_ids, mask=mask,
                              v0=v0s, flat_index=flat_index, vspan=vspan)
+
+    def aligned_blocks(self, block: int = 8192, vspan: int = 512
+                       ) -> "AlignedBlocks":
+        """Window-aligned variant of `w_sorted_blocks` for the Pallas count
+        kernel: blocks never cross an aligned vspan window boundary and
+        every window gets at least one (possibly empty) block, so the
+        kernel's per-window zero-then-accumulate output mapping covers the
+        whole [V, K] table."""
+        n = self.num_tokens
+        nwin = max(1, (self.num_types + vspan - 1) // vspan)
+        order = np.argsort(self.tokens, kind="stable")
+        w_s = self.tokens[order]
+        d_s = self.token_doc_ids()[order]
+        starts = np.searchsorted(w_s, np.arange(nwin + 1) * vspan)
+        bounds = []            # (win, tok_start, tok_end)
+        for win in range(nwin):
+            s, e = int(starts[win]), int(starts[win + 1])
+            if e == s:
+                bounds.append((win, s, s))
+            while s < e:
+                bounds.append((win, s, min(s + block, e)))
+                s += block
+        nb = len(bounds)
+        w_local = np.full((nb, block), vspan, np.int32)
+        doc_ids = np.zeros((nb, block), np.int32)
+        mask = np.zeros((nb, block), bool)
+        win_ids = np.zeros(nb, np.int32)
+        first = np.zeros(nb, np.int32)
+        flat_index = np.full((nb, block), -1, np.int64)
+        prev_win = -1
+        for i, (win, s, e) in enumerate(bounds):
+            win_ids[i] = win
+            if win != prev_win:
+                first[i] = 1
+                prev_win = win
+            if e > s:
+                w_local[i, : e - s] = w_s[s:e] - win * vspan
+                doc_ids[i, : e - s] = d_s[s:e]
+                mask[i, : e - s] = True
+                flat_index[i, : e - s] = order[s:e]
+        return AlignedBlocks(w_local=w_local, doc_ids=doc_ids, mask=mask,
+                             win=win_ids, first=first, flat_index=flat_index,
+                             vspan=vspan, nwin=nwin)
 
     @staticmethod
     def from_token_lists(doc_tokens: list[list[int]], vocab: list[str],

@@ -11,27 +11,34 @@ UncollapsedParallelLDA. Per iteration:
      inverse-CDF (:107-113).
   3. phi_k ~ Dir(beta + n_k) per topic row (:182-209).
 
-TPU-first design (measured on a v5e chip — see git history for the
-profiling): given (theta, phi) every token draw is independent, so the whole
-corpus is processed as a scan over static *type-sorted blocks*
-(Corpus.w_sorted_blocks): each block covers ≤ `vocab_span` consecutive type
-ids, so
+TPU-first design (profiled phase-by-phase on a v5e chip — benchmarks/
+micro.py): given (theta, phi) every token draw is independent, so
 
-  - the phi values a block needs are ONE contiguous [vspan, K] slice (no
-    big gather);
-  - the z draw is a vectorised Gumbel-max over [B, K] logits (exact
-    categorical; one RNG call per block — the sequential inverse-CDF of the
-    reference is strictly slower on TPU because the cumsum runs across the
-    lane axis);
-  - the block's N_kw contribution is an MXU indicator matmul
-    [vspan, B] @ [B, K] instead of a scatter-add (≈8× faster than XLA
-    scatter for this shape), accumulated into a [V, K] carry — note the
-    *type-major* orientation, which is also the natural layout for the
-    per-token access pattern, so state.nkw and state.phi are stored [V, K]
-    here (`nkw_layout = "vk"`).
+  - the z draw is one FLAT fused program over all tokens: two row gathers
+    (log theta by doc id, log phi by type id — XLA row gathers measured at
+    ~3 ms for the whole corpus; they are NOT the bottleneck) + Gumbel-max
+    over [N, K] logits (exact categorical; the sequential inverse-CDF of
+    the reference is strictly slower on TPU because the cumsum runs across
+    the lane axis). No per-block scan: emitting per-block outputs through
+    lax.scan measured 2.5x slower than the flat fused form.
+  - the random-scan document mask rides as an EXTRA COLUMN of the gathered
+    log-theta table: rows pad to 128 lanes either way, so the per-token
+    doc-selection flag is free, where a separate `doc_mask[doc_ids]` bool
+    gather measured +12 ms.
+  - N_kw is rebuilt from z by the Pallas windowed count kernel
+    (ops/pallas_counts.py) over static window-aligned type-sorted blocks
+    (Corpus.aligned_blocks): indicator x one-hot MXU matmuls with both
+    operands built in VMEM, accumulated straight into each aligned output
+    window (2.8 ms vs 22 ms for the XLA indicator matmul / 19 ms scatter at
+    20NG scale — count bookkeeping, not gathers, dominates this sampler).
+    State is kept type-major (`nkw_layout = "vk"`), matching the kernel's
+    output and the per-token access pattern. z is stored flat in the
+    blocks' token order, so the kernel consumes it with a free reshape.
 
 theta and phi are whole-matrix vectorised Gamma draws. The remaining
-scatter is the [D, K] doc-topic count rebuild.
+scatter is the [D, K] doc-topic count rebuild (a Pallas scalar-accumulate
+kernel was evaluated: Mosaic on this backend cannot lower dynamic-index
+read-modify-write, so the scatter stays).
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ import numpy as np
 
 from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
 from ldagroupedgibbssampler_tpu.ops import random as rnd
+from ldagroupedgibbssampler_tpu.ops.pallas_counts import blocked_label_counts
 
 _EPS = 1e-30
 
@@ -54,29 +62,39 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
     # ------------------------------------------------------------------
     def _prepare_device_data(self, corpus):
         cfg = self.config
-        blocks = corpus.w_sorted_blocks(block=cfg.token_block,
-                                        vspan=cfg.vocab_span)
+        vspan = cfg.vocab_span
+        blocks = corpus.aligned_blocks(block=cfg.token_block, vspan=vspan)
         self._blocks = blocks
-        self.wb = jnp.asarray(blocks.w_local)
-        self.db = jnp.asarray(blocks.doc_ids)
-        self.maskb = jnp.asarray(blocks.mask)
-        self.mask_bf16 = jnp.asarray(blocks.mask.astype(np.float32)
-                                     ).astype(jnp.bfloat16)
-        self.v0 = jnp.asarray(blocks.v0)
+        self.wb = jnp.asarray(blocks.w_local)      # sentinel vspan on pads
         self.num_blocks = blocks.w_local.shape[0]
+        # flat token arrays for the fused z-draw (blocks' token order)
+        w_glob = (np.minimum(blocks.w_local, vspan - 1)
+                  + blocks.win[:, None] * vspan).reshape(-1)
+        self.wg = jnp.asarray(w_glob.astype(np.int32))
+        self.df = jnp.asarray(blocks.doc_ids.reshape(-1))
+        self.mf = jnp.asarray(blocks.mask.reshape(-1))
+        self.winb = jnp.asarray(blocks.win)
+        self.firstb = jnp.asarray(blocks.first)
+
+    def _count_nkw(self, z):
+        nkw = blocked_label_counts(
+            self.wb, z.reshape(self.wb.shape), self.winb, self.firstb,
+            nwin=self._blocks.nwin, vspan=self.config.vocab_span,
+            num_labels=self.config.topics)
+        return nkw[: self.corpus.num_types]
+
+    def _count_ndk(self, z):
+        ones = jnp.where(self.mf, 1, 0)
+        return jnp.zeros((self.corpus.num_docs, self.config.topics),
+                         jnp.int32).at[self.df, z].add(ones)
 
     def _init_state(self, key: jax.Array) -> LDAState:
-        cfg, corpus = self.config, self.corpus
-        num_topics, num_types = cfg.topics, corpus.num_types
+        cfg = self.config
         k_z, k_phi, k_theta, k_next = jax.random.split(key, 4)
-        z = jax.random.randint(k_z, self.wb.shape, 0, num_topics, jnp.int32)
-        z = jnp.where(self.maskb, z, 0)
-        ones = jnp.where(self.maskb, 1, 0)
-        w_global = self.wb + self.v0[:, None]
-        nkw = jnp.zeros((num_types, num_topics), jnp.int32).at[
-            w_global.reshape(-1), z.reshape(-1)].add(ones.reshape(-1))
-        ndk = jnp.zeros((corpus.num_docs, num_topics), jnp.int32).at[
-            self.db.reshape(-1), z.reshape(-1)].add(ones.reshape(-1))
+        z = jax.random.randint(k_z, self.mf.shape, 0, cfg.topics, jnp.int32)
+        z = jnp.where(self.mf, z, 0)
+        nkw = self._count_nkw(z)
+        ndk = self._count_ndk(z)
         alpha = self._alpha_vector()
         beta = jnp.float32(cfg.beta)
         phi = self._sample_phi(k_phi, nkw, beta, None, None)
@@ -106,51 +124,31 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
               type_mask) -> LDAState:
         cfg = self.config
         num_topics = cfg.topics
-        num_types = self.corpus.num_types
         vspan = cfg.vocab_span
-        block = self.wb.shape[1]
+        pad_rows = self._blocks.nwin * vspan - self.corpus.num_types
         k_theta, k_z, k_phi, k_next = jax.random.split(state.key, 4)
 
         # (1) theta draws — unselected docs keep their previous row.
         theta = self._theta_update(k_theta, state, doc_mask)
         log_theta = jnp.log(theta + _EPS)
         log_phi_pad = jnp.pad(jnp.log(state.phi + _EPS),
-                              ((0, vspan), (0, 0)))
-        keys = jax.random.split(k_z, self.num_blocks)
+                              ((0, pad_rows), (0, 0)))
 
-        # (2)+(3a) fused sweep: z draw + N_kw indicator matmul per block.
-        def blk(nkw_acc, xs):
-            k, wi, di, mi, mbf, zi, v0 = xs
-            phi_loc = jax.lax.dynamic_slice(log_phi_pad, (v0, 0),
-                                            (vspan, num_topics))
-            logits = log_theta[di] + phi_loc[wi]
-            g = jax.random.gumbel(k, logits.shape, dtype=jnp.float32)
-            z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
-            sel = mi & doc_mask[di]
-            z_new = jnp.where(sel, z_new, zi)
-            ind = (wi[None, :] == jax.lax.broadcasted_iota(
-                jnp.int32, (vspan, block), 0)).astype(jnp.bfloat16) \
-                * mbf[None, :]
-            onehot = (z_new[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (block, num_topics), 1)).astype(jnp.bfloat16)
-            part = jax.lax.dot(ind, onehot,
-                               preferred_element_type=jnp.float32)
-            cur = jax.lax.dynamic_slice(nkw_acc, (v0, 0),
-                                        (vspan, num_topics))
-            nkw_acc = jax.lax.dynamic_update_slice(nkw_acc, cur + part,
-                                                   (v0, 0))
-            return nkw_acc, z_new
+        # (2) flat fused z-draw over every token at once. The doc-selection
+        # flag travels as column K of the gathered theta rows (free: rows
+        # pad to the 128-lane tile anyway).
+        ext = jnp.concatenate(
+            [log_theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
+        rows = ext[self.df]                          # [N, K+1]
+        logits = rows[:, :num_topics] + log_phi_pad[self.wg]
+        g = jax.random.gumbel(k_z, logits.shape, dtype=jnp.float32)
+        z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+        sel = self.mf & (rows[:, num_topics] > 0.5)
+        z = jnp.where(sel, z_new, state.z)
 
-        nkw0 = jnp.zeros((num_types + vspan, num_topics), jnp.float32)
-        nkw_acc, z = jax.lax.scan(
-            blk, nkw0, (keys, self.wb, self.db, self.maskb, self.mask_bf16,
-                        state.z, self.v0))
-        nkw = nkw_acc[:num_types].astype(jnp.int32)
-
-        # (3b) doc-topic counts: [D, K] scatter rebuild.
-        ones = jnp.where(self.maskb, 1, 0)
-        ndk = jnp.zeros((self.corpus.num_docs, num_topics), jnp.int32).at[
-            self.db.reshape(-1), z.reshape(-1)].add(ones.reshape(-1))
+        # (3) count rebuilds: Pallas windowed kernel + [D, K] scatter.
+        nkw = self._count_nkw(z)
+        ndk = self._count_ndk(z)
 
         # (4) phi draws.
         phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
@@ -208,15 +206,9 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         valid = self._blocks.flat_index >= 0
         z[valid] = z_flat[self._blocks.flat_index[valid]]
         st = self.state
-        z = jnp.asarray(z)
-        ones = jnp.where(self.maskb, 1, 0)
-        w_global = self.wb + self.v0[:, None]
-        nkw = jnp.zeros((self.corpus.num_types, self.config.topics),
-                        jnp.int32).at[w_global.reshape(-1),
-                                      z.reshape(-1)].add(ones.reshape(-1))
-        ndk = jnp.zeros((self.corpus.num_docs, self.config.topics),
-                        jnp.int32).at[self.db.reshape(-1),
-                                      z.reshape(-1)].add(ones.reshape(-1))
+        z = jnp.asarray(z.reshape(-1))
+        nkw = self._count_nkw(z)
+        ndk = self._count_ndk(z)
         key, k_phi = jax.random.split(st.key)
         phi = self._sample_phi(k_phi, nkw, st.beta, None, None)
         self.state = st._replace(key=key, z=z, ndk=ndk, nkw=nkw,
