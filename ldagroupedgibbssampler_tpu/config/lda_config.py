@@ -125,8 +125,9 @@ class LDAConfig:
     # --- TPU-native knobs (no reference counterpart) ---------------------
     mesh_shape: Sequence[int] = field(default_factory=tuple)  # () = 1 chip
     mesh_axis_names: Sequence[str] = ("data",)
-    token_block: int = 8192        # tokens per sweep block
-    vocab_span: int = 512          # max type-id span per w-sorted GGS block
+    token_block: int = 2048        # tokens per sweep block
+    vocab_span: int = 512          # aligned type-window width (GGS blocks)
+    doc_span: int = 512            # aligned doc-window width (GGS n_dk path)
     doc_length_multiple: int = 8   # doc-major padding multiple
     paranoid: bool = False         # run count invariants every iteration
     scan_chunk: int = 1            # iterations fused per lax.scan chunk

@@ -25,20 +25,23 @@ micro.py): given (theta, phi) every token draw is independent, so
     log-theta table: rows pad to 128 lanes either way, so the per-token
     doc-selection flag is free, where a separate `doc_mask[doc_ids]` bool
     gather measured +12 ms.
-  - N_kw is rebuilt from z by the Pallas windowed count kernel
-    (ops/pallas_counts.py) over static window-aligned type-sorted blocks
-    (Corpus.aligned_blocks): indicator x one-hot MXU matmuls with both
-    operands built in VMEM, accumulated straight into each aligned output
-    window (2.8 ms vs 22 ms for the XLA indicator matmul / 19 ms scatter at
-    20NG scale — count bookkeeping, not gathers, dominates this sampler).
+  - BOTH count matrices are rebuilt from z by the Pallas windowed count
+    kernel (ops/pallas_counts.py): indicator x one-hot MXU matmuls with
+    both operands built in VMEM, accumulated straight into each aligned
+    output window (2.8 ms vs 22 ms for the XLA indicator matmul / 13-19 ms
+    scatters at 20NG scale — count bookkeeping, not gathers, dominates
+    this sampler). Tokens live in the two-layout cell structure
+    (Corpus.cell_blocks): (w-window, d-window) cells padded to chunk
+    granularity, stored w-window-major (feeds the z-draw and the N_kw
+    kernel directly); one cheap chunk-granular row gather regroups z
+    d-window-major for the n_dk kernel — replacing the 13 ms [D, K]
+    scatter (a Pallas scalar-accumulate kernel was also evaluated: Mosaic
+    on this backend cannot lower dynamic-index read-modify-write).
     State is kept type-major (`nkw_layout = "vk"`), matching the kernel's
-    output and the per-token access pattern. z is stored flat in the
-    blocks' token order, so the kernel consumes it with a free reshape.
+    output and the per-token access pattern.
 
-theta and phi are whole-matrix vectorised Gamma draws. The remaining
-scatter is the [D, K] doc-topic count rebuild (a Pallas scalar-accumulate
-kernel was evaluated: Mosaic on this backend cannot lower dynamic-index
-read-modify-write, so the scatter stays).
+theta and phi are whole-matrix vectorised Gamma draws. The GGS hot path
+contains no scatter at all.
 """
 
 from __future__ import annotations
@@ -63,30 +66,46 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
     def _prepare_device_data(self, corpus):
         cfg = self.config
         vspan = cfg.vocab_span
-        blocks = corpus.aligned_blocks(block=cfg.token_block, vspan=vspan)
+        blocks = corpus.cell_blocks(block=cfg.token_block, vspan=vspan,
+                                    dspan=cfg.doc_span)
         self._blocks = blocks
         self.wb = jnp.asarray(blocks.w_local)      # sentinel vspan on pads
         self.num_blocks = blocks.w_local.shape[0]
-        # flat token arrays for the fused z-draw (blocks' token order)
+        # flat token arrays for the fused z-draw (layout A token order)
         w_glob = (np.minimum(blocks.w_local, vspan - 1)
-                  + blocks.win[:, None] * vspan).reshape(-1)
+                  + blocks.win_w[:, None] * vspan).reshape(-1)
         self.wg = jnp.asarray(w_glob.astype(np.int32))
         self.df = jnp.asarray(blocks.doc_ids.reshape(-1))
         self.mf = jnp.asarray(blocks.mask.reshape(-1))
-        self.winb = jnp.asarray(blocks.win)
-        self.firstb = jnp.asarray(blocks.first)
+        self.winb = jnp.asarray(blocks.win_w)
+        self.firstb = jnp.asarray(blocks.first_w)
+        # layout B (d-window-major) for the n_dk count kernel
+        self.srcb = jnp.asarray(blocks.src_chunks)
+        self.dlb = jnp.asarray(blocks.d_local)     # sentinel dspan on pads
+        self.windb = jnp.asarray(blocks.win_d)
+        self.firstdb = jnp.asarray(blocks.first_d)
 
     def _count_nkw(self, z):
         nkw = blocked_label_counts(
             self.wb, z.reshape(self.wb.shape), self.winb, self.firstb,
-            nwin=self._blocks.nwin, vspan=self.config.vocab_span,
+            nwin=self._blocks.nwin_w, vspan=self.config.vocab_span,
             num_labels=self.config.topics)
         return nkw[: self.corpus.num_types]
 
     def _count_ndk(self, z):
-        ones = jnp.where(self.mf, 1, 0)
-        return jnp.zeros((self.corpus.num_docs, self.config.topics),
-                         jnp.int32).at[self.df, z].add(ones)
+        if jax.default_backend() != "tpu":
+            ones = jnp.where(self.mf, 1, 0)
+            return jnp.zeros((self.corpus.num_docs, self.config.topics),
+                             jnp.int32).at[self.df, z].add(ones)
+        # regroup z d-window-major with one chunk-granular row gather, then
+        # the same Pallas count kernel produces n_dk — no scatter.
+        z_b = z.reshape(-1, self._blocks.chunk)[self.srcb].reshape(
+            self.dlb.shape)
+        ndk = blocked_label_counts(
+            self.dlb, z_b, self.windb, self.firstdb,
+            nwin=self._blocks.nwin_d, vspan=self.config.doc_span,
+            num_labels=self.config.topics)
+        return ndk[: self.corpus.num_docs]
 
     def _init_state(self, key: jax.Array) -> LDAState:
         cfg = self.config
@@ -125,24 +144,32 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         cfg = self.config
         num_topics = cfg.topics
         vspan = cfg.vocab_span
-        pad_rows = self._blocks.nwin * vspan - self.corpus.num_types
+        pad_rows = self._blocks.nwin_w * vspan - self.corpus.num_types
         k_theta, k_z, k_phi, k_next = jax.random.split(state.key, 4)
 
         # (1) theta draws — unselected docs keep their previous row.
         theta = self._theta_update(k_theta, state, doc_mask)
-        log_theta = jnp.log(theta + _EPS)
-        log_phi_pad = jnp.pad(jnp.log(state.phi + _EPS),
-                              ((0, pad_rows), (0, 0)))
+        phi_pad = jnp.pad(state.phi, ((0, pad_rows), (0, 0)))
 
-        # (2) flat fused z-draw over every token at once. The doc-selection
-        # flag travels as column K of the gathered theta rows (free: rows
-        # pad to the 128-lane tile anyway).
+        # (2) flat fused z-draw over every token at once: the reference's
+        # inverse-CDF draw (LDAGroupedGibbsSampler.java:96-113), with the
+        # cumulative sum as ONE triangular f32 matmul on the MXU and one
+        # uniform per token — ~3.5 ms cheaper than Gumbel-max, which needs
+        # a [N, K] Gumbel field. The doc-selection flag travels as column K
+        # of the gathered theta rows (free: rows pad to the 128-lane tile
+        # anyway; a separate doc_mask[doc_ids] bool gather measured +12 ms).
         ext = jnp.concatenate(
-            [log_theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
+            [theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
         rows = ext[self.df]                          # [N, K+1]
-        logits = rows[:, :num_topics] + log_phi_pad[self.wg]
-        g = jax.random.gumbel(k_z, logits.shape, dtype=jnp.float32)
-        z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+        probs = rows[:, :num_topics] * phi_pad[self.wg]
+        tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
+        cdf = jax.lax.dot(probs, tri,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        u = (jax.random.uniform(k_z, (probs.shape[0], 1), jnp.float32)
+             * cdf[:, -1:])
+        z_new = jnp.minimum(jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
+                            num_topics - 1)
         sel = self.mf & (rows[:, num_topics] > 0.5)
         z = jnp.where(sel, z_new, state.z)
 
