@@ -60,7 +60,8 @@ def make_step(model, *, z_mode="real", counts=True, gammas=True):
             theta = rnd.dirichlet(
                 k_theta, state.ndk.astype(jnp.float32) + state.alpha)
         else:
-            theta = state.theta + 0e0 * k_theta[0].astype(jnp.float32)
+            keybits = jax.random.key_data(k_theta).ravel()[0]
+            theta = state.theta + 0e0 * keybits.astype(jnp.float32)
 
         if z_mode == "skip":
             z = state.z
@@ -105,20 +106,35 @@ def make_step(model, *, z_mode="real", counts=True, gammas=True):
 
 
 def time_variant(name, model, step):
-    def run(state):
-        def body(st, _):
-            return step(st), None
-        out, _ = jax.lax.scan(body, state, None, length=REPS)
-        return out
-    jitted = jax.jit(model._with_rebound(run), donate_argnums=(1,))
+    """Per-iteration cost by ITERATION-COUNT SUBTRACTION: time a scan of
+    3*REPS minus a scan of REPS (best of 3 each) with a scalar readback.
+    Full-array readbacks and fixed dispatch latency through the axon tunnel
+    otherwise dominate and mis-rank the variants (measured: the same step
+    reads 30 ms/iter with a 5.8 MB np.asarray readback over 10 iters vs
+    12.4 ms/iter by subtraction)."""
+    def make_run(n):
+        def run(state):
+            def body(st, _):
+                return step(st), None
+            out, _ = jax.lax.scan(body, state, None, length=n)
+            return out
+        return jax.jit(model._with_rebound(run), donate_argnums=(1,))
     dev = model._device_arrays()
-    st0 = jax.tree.map(jnp.copy, model.state)  # donation-safe copy
-    st = jitted(dev, st0)                      # compile + warm
-    _ = np.asarray(st.z).ravel()[:1]
-    t0 = time.perf_counter()
-    st = jitted(dev, st)
-    _ = np.asarray(st.z).ravel()[:1]
-    dt = (time.perf_counter() - t0) / REPS * 1e3
+
+    def timed(n):
+        jitted = make_run(n)
+        st = jax.tree.map(jnp.copy, model.state)  # donation-safe copy
+        st = jitted(dev, st)                       # compile + warm
+        _ = float(jnp.sum(st.nk))                  # force completion
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st = jitted(dev, st)
+            _ = float(jnp.sum(st.nk))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(3 * REPS) - timed(REPS)) / (2 * REPS) * 1e3
     print(f"{name:44s} {dt:8.3f} ms/iter", flush=True)
     return dt
 
