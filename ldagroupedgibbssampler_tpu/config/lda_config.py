@@ -126,12 +126,14 @@ class LDAConfig:
     mesh_shape: Sequence[int] = field(default_factory=tuple)  # () = 1 chip
     mesh_axis_names: Sequence[str] = ("data",)
     token_block: int = 2048        # tokens per sweep block
-    vocab_span: int = 512          # aligned type-window width (GGS blocks)
-    doc_span: int = 512            # aligned doc-window width (GGS n_dk path)
+    vocab_span: int = 128          # aligned type-window width (GGS blocks)
+    doc_span: int = 128            # aligned doc-window width (GGS n_dk path)
     doc_length_multiple: int = 8   # doc-major padding multiple
     paranoid: bool = False         # run count invariants every iteration
     scan_chunk: int = 1            # iterations fused per lax.scan chunk
     prng_impl: str = "rbg"         # "rbg" (fast on TPU) or "threefry2x32"
+    zdraw_kernel: str = "auto"     # GGS z-draw: "auto" | "fused" | "xla"
+    zdraw_precise: bool = False    # fused kernel: bf16x2 tables + f32 cdf
 
     def replace(self, **kw) -> "LDAConfig":
         return dataclasses.replace(self, **kw)

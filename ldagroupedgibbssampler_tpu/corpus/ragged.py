@@ -73,6 +73,8 @@ class CellBlocks:
     win_w: np.ndarray      # [NBa] w-window id (nondecreasing)
     first_w: np.ndarray    # [NBa] 1 on the first block of each w-window
     flat_index: np.ndarray  # [NBa, B] original corpus token index (-1 = pad)
+    d_local_a: np.ndarray  # [NBa, B] doc id minus win_d*dspan; dspan = pad
+    win_d_chunks: np.ndarray  # [NBa*B/chunk] d-window id of each A chunk
     # layout B (d-window-major view of the same padded cells)
     src_chunks: np.ndarray  # [NBb*B/chunk] row index into A viewed [-1,chunk]
     d_local: np.ndarray    # [NBb, B] doc id minus win_d*dspan; dspan = pad
@@ -320,6 +322,7 @@ class Corpus:
         w_local = np.full((total_chunks, chunk), vspan, np.int32)
         doc_ids = np.zeros((total_chunks, chunk), np.int32)
         d_loc_a = np.full((total_chunks, chunk), dspan, np.int32)
+        win_d_chunks = np.zeros(total_chunks, np.int32)
         mask = np.zeros((total_chunks, chunk), bool)
         flat_index = np.full((total_chunks, chunk), -1, np.int64)
         win_w_arr = np.zeros(nba, np.int32)
@@ -336,6 +339,7 @@ class Corpus:
                 if cr >= 0:
                     ci, s, e = a_rows[cr]
                     m = e - s
+                    win_d_chunks[r] = int(cell_key[ci] % nwin_d)
                     if m > 0:
                         w_local[r, :m] = w_s[s:e] - win * vspan
                         doc_ids[r, :m] = d_s[s:e]
@@ -375,6 +379,8 @@ class Corpus:
             mask=mask.reshape(nba, block),
             win_w=win_w_arr, first_w=first_w,
             flat_index=flat_index.reshape(nba, block),
+            d_local_a=d_loc_a.reshape(nba, block),
+            win_d_chunks=win_d_chunks,
             src_chunks=src_chunks,
             d_local=d_local.reshape(nbb, block),
             win_d=np.asarray(win_d_list, np.int32),

@@ -12,36 +12,34 @@ UncollapsedParallelLDA. Per iteration:
   3. phi_k ~ Dir(beta + n_k) per topic row (:182-209).
 
 TPU-first design (profiled phase-by-phase on a v5e chip — benchmarks/
-micro.py): given (theta, phi) every token draw is independent, so
+micro.py, benchmarks/zdraw_parts.py): given (theta, phi) every token draw
+is independent, so
 
-  - the z draw is one FLAT fused program over all tokens: two row gathers
-    (log theta by doc id, log phi by type id — XLA row gathers measured at
-    ~3 ms for the whole corpus; they are NOT the bottleneck) + Gumbel-max
-    over [N, K] logits (exact categorical; the sequential inverse-CDF of
-    the reference is strictly slower on TPU because the cumsum runs across
-    the lane axis). No per-block scan: emitting per-block outputs through
-    lax.scan measured 2.5x slower than the flat fused form.
-  - the random-scan document mask rides as an EXTRA COLUMN of the gathered
-    log-theta table: rows pad to 128 lanes either way, so the per-token
-    doc-selection flag is free, where a separate `doc_mask[doc_ids]` bool
-    gather measured +12 ms.
-  - BOTH count matrices are rebuilt from z by the Pallas windowed count
-    kernel (ops/pallas_counts.py): indicator x one-hot MXU matmuls with
-    both operands built in VMEM, accumulated straight into each aligned
-    output window (2.8 ms vs 22 ms for the XLA indicator matmul / 13-19 ms
-    scatters at 20NG scale — count bookkeeping, not gathers, dominates
-    this sampler). Tokens live in the two-layout cell structure
-    (Corpus.cell_blocks): (w-window, d-window) cells padded to chunk
-    granularity, stored w-window-major (feeds the z-draw and the N_kw
-    kernel directly); one cheap chunk-granular row gather regroups z
-    d-window-major for the n_dk kernel — replacing the 13 ms [D, K]
-    scatter (a Pallas scalar-accumulate kernel was also evaluated: Mosaic
-    on this backend cannot lower dynamic-index read-modify-write).
-    State is kept type-major (`nkw_layout = "vk"`), matching the kernel's
-    output and the per-token access pattern.
+  - on TPU the z draw AND the N_kw rebuild run as ONE fused Pallas kernel
+    (ops/pallas_zdraw.py): tokens live in (w-window, d-window) cell blocks
+    (Corpus.cell_blocks), so the per-token theta/phi row gathers — the
+    dominant cost of the XLA formulation, 7.2 of 9.4 ms at 20NG scale,
+    because TPU row gathers pay tile-granular HBM traffic — become one-hot
+    matmuls on the MXU against VMEM-resident window tables, the
+    inverse-CDF cumsum is a triangular matmul, one on-chip uniform draws
+    each token, and the same one-hot operands accumulate N_kw windows.
+    Small windows win: 128-wide vocab/doc spans measured 256M tokens/s vs
+    184M at 512 despite 2.2x chunk-padding (the one-hot builds are
+    VPU-bound in the span).
+  - off TPU (and above the kernel's VMEM gate) the fallback is a FLAT
+    fused XLA program over all tokens: two row gathers + the same
+    triangular-matmul inverse-CDF; the random-scan document mask rides as
+    an extra column of the gathered theta rows (rows pad to 128 lanes
+    anyway), and N_kw is rebuilt by the Pallas windowed count kernel
+    (ops/pallas_counts.py) or a scatter-add on CPU.
+  - n_dk: one cheap chunk-granular row gather regroups z d-window-major
+    (layout B of the same padded cells), after which the windowed count
+    kernel produces n_dk — replacing a 13 ms [D, K] scatter. State is
+    kept type-major (`nkw_layout = "vk"`), matching the kernels' output
+    and the per-token access pattern.
 
 theta and phi are whole-matrix vectorised Gamma draws. The GGS hot path
-contains no scatter at all.
+contains no scatter and, on TPU, no gather at all.
 """
 
 from __future__ import annotations
@@ -53,6 +51,12 @@ import numpy as np
 from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
 from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.ops.pallas_counts import blocked_label_counts
+from ldagroupedgibbssampler_tpu.ops.pallas_zdraw import (
+    fused_zdraw_nkw, fused_zdraw_vmem_bytes)
+
+# VMEM budget for the fused z-draw's resident theta table (+ phi window);
+# above this the step falls back to the XLA gather formulation.
+_FUSED_ZDRAW_VMEM_BUDGET = 10 * 2 ** 20
 
 _EPS = 1e-30
 
@@ -84,6 +88,22 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         self.dlb = jnp.asarray(blocks.d_local)     # sentinel dspan on pads
         self.windb = jnp.asarray(blocks.win_d)
         self.firstdb = jnp.asarray(blocks.first_d)
+        # layout A doc-side metadata for the fused z-draw kernel
+        self.dla = jnp.asarray(blocks.d_local_a)
+        self.windc = jnp.asarray(blocks.win_d_chunks)
+
+    def _use_fused_zdraw(self) -> bool:
+        mode = self.config.zdraw_kernel
+        if mode == "xla" or jax.default_backend() != "tpu":
+            return False
+        fits = fused_zdraw_vmem_bytes(
+            self.corpus.num_docs, self.config.topics, self.config.doc_span,
+            self.config.zdraw_precise) <= _FUSED_ZDRAW_VMEM_BUDGET
+        if mode == "fused" and not fits:
+            raise ValueError(
+                "zdraw_kernel='fused' but the theta table exceeds the "
+                "VMEM budget; use 'auto' or shrink doc_span/topics")
+        return fits
 
     def _count_nkw(self, z):
         nkw = blocked_label_counts(
@@ -149,32 +169,56 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
 
         # (1) theta draws — unselected docs keep their previous row.
         theta = self._theta_update(k_theta, state, doc_mask)
-        phi_pad = jnp.pad(state.phi, ((0, pad_rows), (0, 0)))
 
-        # (2) flat fused z-draw over every token at once: the reference's
-        # inverse-CDF draw (LDAGroupedGibbsSampler.java:96-113), with the
-        # cumulative sum as ONE triangular f32 matmul on the MXU and one
-        # uniform per token — ~3.5 ms cheaper than Gumbel-max, which needs
-        # a [N, K] Gumbel field. The doc-selection flag travels as column K
-        # of the gathered theta rows (free: rows pad to the 128-lane tile
-        # anyway; a separate doc_mask[doc_ids] bool gather measured +12 ms).
-        ext = jnp.concatenate(
-            [theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
-        rows = ext[self.df]                          # [N, K+1]
-        probs = rows[:, :num_topics] * phi_pad[self.wg]
-        tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
-        cdf = jax.lax.dot(probs, tri,
-                          precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
-        u = (jax.random.uniform(k_z, (probs.shape[0], 1), jnp.float32)
-             * cdf[:, -1:])
-        z_new = jnp.minimum(jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
-                            num_topics - 1)
-        sel = self.mf & (rows[:, num_topics] > 0.5)
-        z = jnp.where(sel, z_new, state.z)
+        if self._use_fused_zdraw():
+            # (2)+(3a) fused Pallas kernel: gather-free z-draw + N_kw in one
+            # pass (ops/pallas_zdraw.py). Doc selection = zeroed theta rows.
+            blocks = self._blocks
+            nb = blocks.w_local.shape[0]
+            chunks = blocks.w_local.shape[1] // blocks.chunk
+            shape3 = (nb, chunks, blocks.chunk)
+            theta_m = jnp.where(doc_mask[:, None], theta, 0.0)
+            seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
+                                      jnp.int32)
+            z3, nkw = fused_zdraw_nkw(
+                self.wb.reshape(shape3), self.dla.reshape(shape3),
+                state.z.reshape(shape3), theta_m, state.phi, seed,
+                self.winb, self.firstb, self.windc,
+                nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
+                vspan=vspan, dspan=blocks.dspan, num_topics=num_topics,
+                precise=cfg.zdraw_precise)
+            z = z3.reshape(-1)
+            nkw = nkw[: self.corpus.num_types]
+        else:
+            # (2) flat fused z-draw over every token at once: the
+            # reference's inverse-CDF draw
+            # (LDAGroupedGibbsSampler.java:96-113), with the cumulative sum
+            # as ONE triangular f32 matmul on the MXU and one uniform per
+            # token — ~3.5 ms cheaper than Gumbel-max, which needs a [N, K]
+            # Gumbel field. The doc-selection flag travels as column K of
+            # the gathered theta rows (free: rows pad to the 128-lane tile
+            # anyway; a separate doc_mask[doc_ids] bool gather measured
+            # +12 ms).
+            phi_pad = jnp.pad(state.phi, ((0, pad_rows), (0, 0)))
+            ext = jnp.concatenate(
+                [theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
+            rows = ext[self.df]                          # [N, K+1]
+            probs = rows[:, :num_topics] * phi_pad[self.wg]
+            tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
+            cdf = jax.lax.dot(probs, tri,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            u = (jax.random.uniform(k_z, (probs.shape[0], 1), jnp.float32)
+                 * cdf[:, -1:])
+            z_new = jnp.minimum(
+                jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
+                num_topics - 1)
+            sel = self.mf & (rows[:, num_topics] > 0.5)
+            z = jnp.where(sel, z_new, state.z)
+            # (3a) N_kw rebuild: Pallas windowed count kernel.
+            nkw = self._count_nkw(z)
 
-        # (3) count rebuilds: Pallas windowed kernel + [D, K] scatter.
-        nkw = self._count_nkw(z)
+        # (3b) n_dk rebuild on the d-window-major layout.
         ndk = self._count_ndk(z)
 
         # (4) phi draws.
