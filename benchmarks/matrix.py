@@ -17,22 +17,42 @@ import time
 import numpy as np
 
 
-def _loop_time(step, state, dm, n=10):
+def _multi_step(model, n):
+    """Scan `n` full-sweep iterations into one dispatch (no donation)."""
     import jax
-    state = step(state, dm, None)
-    _ = np.asarray(state.nk)          # axon: block_until_ready is unreliable
-    t0 = time.perf_counter()
-    for _i in range(n):
-        state = step(state, dm, None)
-    _ = np.asarray(state.nk)
-    return (time.perf_counter() - t0) / n, state
+    import jax.numpy as jnp
+    doc_mask = jnp.ones((model.corpus.num_docs,), bool)
+
+    def run(state):
+        def body(st, _):
+            return model._step(st, doc_mask, None), None
+        return jax.lax.scan(body, state, None, length=n)[0]
+    jitted = jax.jit(model._with_rebound(run), donate_argnums=(1,))
+    return lambda state: jitted(model._device_arrays(), state)
 
 
 def _throughput(model, corpus, iters=10):
+    """Per-iteration time by iteration-count subtraction: scan(3n) - scan(n),
+    best of 3 each, scalar readback to force completion. Removes the fixed
+    dispatch latency of the axon tunnel that otherwise dominates small steps.
+    """
     import jax.numpy as jnp
-    step = model._get_step_jit()
-    dm = jnp.ones((corpus.num_docs,), bool)
-    dt, _ = _loop_time(step, model.state, dm, n=iters)
+
+    import jax
+
+    def timed(n):
+        run = _multi_step(model, n)
+        st = run(jax.tree.map(jnp.copy, model.state))
+        _ = float(jnp.sum(st.nk))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st = run(st)
+            _ = float(jnp.sum(st.nk))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(3 * iters) - timed(iters)) / (2 * iters)
     return corpus.num_tokens / dt
 
 

@@ -202,18 +202,36 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
             phi_pad = jnp.pad(state.phi, ((0, pad_rows), (0, 0)))
             ext = jnp.concatenate(
                 [theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
-            rows = ext[self.df]                          # [N, K+1]
-            probs = rows[:, :num_topics] * phi_pad[self.wg]
             tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
-            cdf = jax.lax.dot(probs, tri,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-            u = (jax.random.uniform(k_z, (probs.shape[0], 1), jnp.float32)
-                 * cdf[:, -1:])
-            z_new = jnp.minimum(
-                jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
-                num_topics - 1)
-            sel = self.mf & (rows[:, num_topics] > 0.5)
+            npad = self.df.shape[0]
+            u_all = jax.random.uniform(k_z, (npad,), jnp.float32)
+            # Segment the token axis so the [L, K+] gather/score/cdf temps
+            # stay ~<=1.5 GB regardless of K: monolithic at 20NG K=1000 the
+            # three temps are 11 GB each and OOM a 16 GB chip.
+            nseg = max(1, -(-npad * num_topics * 12 // (3 << 29)))
+            seg_len = (-(-npad // nseg) + 2047) // 2048 * 2048
+            nseg = -(-npad // seg_len)
+            pad_n = nseg * seg_len - npad
+
+            def _seg(args):
+                dfi, wgi, ui = args
+                rows = ext[dfi]                      # [L, K+1]
+                probs = rows[:, :num_topics] * phi_pad[wgi]
+                cdf = jax.lax.dot(probs, tri,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+                u = ui[:, None] * cdf[:, -1:]
+                zn = jnp.minimum(
+                    jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
+                    num_topics - 1)
+                return zn, rows[:, num_topics]
+
+            z_seg, sel_seg = jax.lax.map(_seg, (
+                jnp.pad(self.df, (0, pad_n)).reshape(nseg, seg_len),
+                jnp.pad(self.wg, (0, pad_n)).reshape(nseg, seg_len),
+                jnp.pad(u_all, (0, pad_n)).reshape(nseg, seg_len)))
+            z_new = z_seg.reshape(-1)[:npad]
+            sel = self.mf & (sel_seg.reshape(-1)[:npad] > 0.5)
             z = jnp.where(sel, z_new, state.z)
             # (3a) N_kw rebuild: Pallas windowed count kernel.
             nkw = self._count_nkw(z)
