@@ -51,22 +51,25 @@ theta[np.arange(D), doc_topic] = 1.0
 phi = np.full((V, K), 1.0 / V, np.float32)
 
 for precise in (False, True):
-    z, nkw = fused_zdraw_nkw(
-        w3, d3, z_old, jnp.asarray(theta), jnp.asarray(phi), seed,
-        win_w, first_w, win_d,
-        nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
-        vspan=512, dspan=512, num_topics=K, precise=precise)
-    z = np.asarray(z)
-    nkw = np.asarray(nkw)
-    expect = doc_topic[doc_ids]
-    ok = (z[mask] == expect[mask]).all()
-    keep = (z[~mask] == np.asarray(z_old)[~mask]).all()
-    # nkw reference
-    ref = np.zeros((blocks.nwin_w * 512, K), np.int64)
-    np.add.at(ref, (w_glob[mask], z[mask]), 1)
-    cnt_ok = (ref == nkw.astype(np.int64)).all()
-    print(f"precise={precise}: onehot z ok={ok} keep-old={keep} "
-          f"nkw ok={cnt_ok} total={nkw.sum()} expect={mask.sum()}")
+    for stream in (False, True):
+        z, nkw = fused_zdraw_nkw(
+            w3, d3, z_old, jnp.asarray(theta), jnp.asarray(phi), seed,
+            win_w, first_w, win_d,
+            nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
+            vspan=512, dspan=512, num_topics=K, precise=precise,
+            stream_theta=stream)
+        z = np.asarray(z)
+        nkw = np.asarray(nkw)
+        expect = doc_topic[doc_ids]
+        ok = (z[mask] == expect[mask]).all()
+        keep = (z[~mask] == np.asarray(z_old)[~mask]).all()
+        # nkw reference
+        ref = np.zeros((blocks.nwin_w * 512, K), np.int64)
+        np.add.at(ref, (w_glob[mask], z[mask]), 1)
+        cnt_ok = (ref == nkw.astype(np.int64)).all()
+        print(f"precise={precise} stream={stream}: onehot z ok={ok} "
+              f"keep-old={keep} nkw ok={cnt_ok} total={nkw.sum()} "
+              f"expect={mask.sum()}")
 
 # ---- test 2: doc-mask keeps old z --------------------------------------
 sel = rng.random(D) < 0.5

@@ -55,7 +55,8 @@ from ldagroupedgibbssampler_tpu.ops.pallas_zdraw import (
     fused_zdraw_nkw, fused_zdraw_vmem_bytes)
 
 # VMEM budget for the fused z-draw's resident theta table (+ phi window);
-# above this the step falls back to the XLA gather formulation.
+# above this the kernel streams theta d-windows from HBM per chunk
+# (double-buffered DMA) instead of keeping the whole table VMEM-resident.
 _FUSED_ZDRAW_VMEM_BUDGET = 10 * 2 ** 20
 
 _EPS = 1e-30
@@ -94,16 +95,14 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
 
     def _use_fused_zdraw(self) -> bool:
         mode = self.config.zdraw_kernel
-        if mode == "xla" or jax.default_backend() != "tpu":
-            return False
-        fits = fused_zdraw_vmem_bytes(
+        return mode != "xla" and jax.default_backend() == "tpu"
+
+    def _zdraw_stream_theta(self) -> bool:
+        """Stream theta d-windows from HBM when the whole [kpad, Dpad]
+        table exceeds the VMEM residency budget (large K or large D)."""
+        return fused_zdraw_vmem_bytes(
             self.corpus.num_docs, self.config.topics, self.config.doc_span,
-            self.config.zdraw_precise) <= _FUSED_ZDRAW_VMEM_BUDGET
-        if mode == "fused" and not fits:
-            raise ValueError(
-                "zdraw_kernel='fused' but the theta table exceeds the "
-                "VMEM budget; use 'auto' or shrink doc_span/topics")
-        return fits
+            self.config.zdraw_precise) > _FUSED_ZDRAW_VMEM_BUDGET
 
     def _count_nkw(self, z):
         nkw = blocked_label_counts(
@@ -186,7 +185,8 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
                 self.winb, self.firstb, self.windc,
                 nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
                 vspan=vspan, dspan=blocks.dspan, num_topics=num_topics,
-                precise=cfg.zdraw_precise)
+                precise=cfg.zdraw_precise,
+                stream_theta=self._zdraw_stream_theta())
             z = z3.reshape(-1)
             nkw = nkw[: self.corpus.num_types]
         else:

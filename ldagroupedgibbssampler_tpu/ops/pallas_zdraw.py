@@ -58,10 +58,24 @@ _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
 def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref, win_d_ref,
                   w_ref, d_ref, zo_ref, th_ref, ph_ref,
-                  z_out, nkw_out, *,
-                  vspan, dspan, kpad, num_topics, chunks, chunk, precise):
+                  z_out, nkw_out, *scratch,
+                  vspan, dspan, kpad, num_topics, chunks, chunk, precise,
+                  stream_theta):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+
+    if stream_theta:
+        # theta lives in HBM ([krows, dpad]); double-buffer the per-chunk
+        # [krows, dspan] d-window into VMEM, overlapping DMA with compute.
+        th_buf, th_sem = scratch
+
+        def _th_dma(slot, c):
+            wd = win_d_ref[i * chunks + c]
+            return pltpu.make_async_copy(
+                th_ref.at[:, pl.ds(wd * dspan, dspan)],
+                th_buf.at[slot], th_sem.at[slot])
+
+        _th_dma(0, 0).start()
 
     @pl.when(first_w_ref[i] == 1)
     def _():
@@ -87,7 +101,13 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref, win_d_ref,
 
         oh_d = (iota_d == drow[None, :]).astype(jnp.bfloat16)
         oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
-        th_win = th_ref[:, pl.ds(win_d * dspan, dspan)]   # [kpad*, dspan]
+        if stream_theta:
+            if c + 1 < chunks:
+                _th_dma((c + 1) % 2, c + 1).start()
+            _th_dma(c % 2, c).wait()
+            th_win = th_buf[c % 2]                        # [kpad*, dspan]
+        else:
+            th_win = th_ref[:, pl.ds(win_d * dspan, dspan)]
         ph_win = ph_ref[:, :]                             # [kpad*, vspan]
         th = jax.lax.dot(th_win, oh_d,
                          preferred_element_type=jnp.float32)
@@ -121,10 +141,10 @@ def _split_hi_lo(x):
 
 @functools.partial(
     jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
-                              "num_topics", "precise"))
+                              "num_topics", "precise", "stream_theta"))
 def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                     win_d_chunks, *, nwin_w, nwin_d, vspan, dspan,
-                    num_topics, precise=False):
+                    num_topics, precise=False, stream_theta=False):
     """Draw z for every token and accumulate N_kw in one fused pass.
 
     w3 / d3 / z_old: int32 [NB, chunks, chunk] cell-block token rows
@@ -133,6 +153,9 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
     phi_vk:   f32 [V, K].
     seed: int32 [1]. win_w / first_w: int32 [NB]. win_d_chunks: int32
         [NB * chunks].
+    stream_theta: keep the theta table in HBM and DMA each chunk's
+        [krows, dspan] d-window into a double-buffered VMEM scratch —
+        removes the VMEM-residency gate on K*D (large K / NYTimes-scale D).
 
     Returns (z [NB, chunks, chunk] int32, nkw [nwin_w * vspan, K] int32).
     """
@@ -152,6 +175,12 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
         ph = ph.astype(jnp.bfloat16)
     krows = th.shape[0]
 
+    th_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_theta
+               else pl.BlockSpec((krows, dpad), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    scratch_shapes = ([pltpu.VMEM((2, krows, dspan), th.dtype),
+                       pltpu.SemaphoreType.DMA((2,))] if stream_theta
+                      else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nb,),
@@ -162,8 +191,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunks, chunk),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((krows, dpad),
-                         lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            th_spec,
             pl.BlockSpec((krows, vspan),
                          lambda i, seed, ww, fw, wd: (0, ww[i]),
                          memory_space=pltpu.VMEM),
@@ -175,12 +203,13 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                          lambda i, seed, ww, fw, wd: (ww[i], 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=scratch_shapes,
     )
     z, nkw = pl.pallas_call(
         functools.partial(
             _zdraw_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
             num_topics=num_topics, chunks=chunks, chunk=chunk,
-            precise=precise),
+            precise=precise, stream_theta=stream_theta),
         out_shape=[
             jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
             jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
