@@ -61,10 +61,26 @@ def synth_20ng(v=20000, d=11269, mean_len=120, seed=0):
     return bench.synth_corpus(seed)
 
 
+def synth_sized(d, v, mean_len, seed=0):
+    """Zipf corpus at arbitrary scale (same recipe as bench.synth_corpus)."""
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    rng = np.random.default_rng(seed)
+    lengths = np.maximum(5, rng.poisson(mean_len, d)).astype(np.int64)
+    n = int(lengths.sum())
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    probs = 1.0 / ranks ** 1.1
+    probs /= probs.sum()
+    tokens = rng.choice(v, size=n, p=probs).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    return Corpus(tokens=tokens, doc_offsets=offsets,
+                  vocab=[f"w{i}" for i in range(v)])
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_MATRIX.json")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip_nyt", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -163,6 +179,21 @@ def main(argv=None):
     report["results"]["5_ggs_20ng_k1000"] = {
         "tokens_per_sec": round(_throughput(m5, corpus,
                                             max(3, iters // 2)), 1)}
+
+    # 6. NYTimes-scale GGS (D=300k, V=102,660, N≈100M — the UCI stats the
+    #    reference quotes in datasets/README.txt): production-scale run on
+    #    one chip via the HBM-streamed theta kernel. doc_span=1024 keeps
+    #    (w-window, d-window) cell padding low at this document count.
+    if not args.skip_nyt and jax.default_backend() == "tpu":
+        del m2, m3, m5, mq
+        nyt = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
+        cfg6 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
+                         seed=2019, exec_time=-1, doc_span=1024)
+        m6 = create_model(cfg6)
+        m6.add_instances(nyt)
+        report["results"]["6_ggs_nyt_k100"] = {
+            "num_tokens": nyt.num_tokens,
+            "tokens_per_sec": round(_throughput(m6, nyt, 3), 1)}
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

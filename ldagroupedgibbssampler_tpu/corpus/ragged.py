@@ -274,119 +274,10 @@ class Corpus:
     def cell_blocks(self, block: int = 4096, vspan: int = 512,
                     dspan: int = 512, chunk: int = 128) -> "CellBlocks":
         """Build the two-layout cell block structure (see CellBlocks)."""
-        assert block % chunk == 0
-        n = self.num_tokens
-        nwin_w = max(1, (self.num_types + vspan - 1) // vspan)
-        nwin_d = max(1, (self.num_docs + dspan - 1) // dspan)
-        d_all = self.token_doc_ids()
-        ww = self.tokens // vspan
-        dw = d_all // dspan
-        order = np.lexsort((dw, ww))           # w-window major, d-window minor
-        w_s, d_s = self.tokens[order], d_all[order]
-        ww_s, dw_s = ww[order], dw[order]
-
-        # cells in A order; each padded to a multiple of `chunk`
-        keys = ww_s.astype(np.int64) * nwin_d + dw_s
-        cell_key, cell_start = np.unique(keys, return_index=True)
-        cell_end = np.append(cell_start[1:], n)
-        cell_pad = ((cell_end - cell_start + chunk - 1) // chunk) * chunk
-
-        bpc = block // chunk                   # chunks per block
-        # ---- layout A: windows padded to whole blocks, + 1 all-pad block
-        win_chunks: list[list[int]] = [[] for _ in range(nwin_w)]
-        cell_chunk0 = np.zeros(len(cell_key), np.int64)
-        a_rows: list[tuple] = []               # (cell_idx, tok_s, tok_e) per chunk
-        for ci in range(len(cell_key)):
-            win = int(cell_key[ci] // nwin_d)
-            cell_chunk0[ci] = len(a_rows)
-            s, e = int(cell_start[ci]), int(cell_end[ci])
-            for c0 in range(0, int(cell_pad[ci]), chunk):
-                win_chunks[win].append(len(a_rows))
-                a_rows.append((ci, s + c0, min(e, s + c0 + chunk)))
-        # pad each window to a block multiple with all-pad chunks
-        win_blocks: list[tuple] = []           # (win, [chunk rows])
-        for win in range(nwin_w):
-            rows = list(win_chunks[win])
-            while len(rows) % bpc:
-                rows.append(-1)                # -1 = all-pad chunk
-            if not rows:
-                rows = [-1] * bpc
-            for b0 in range(0, len(rows), bpc):
-                win_blocks.append((win, rows[b0: b0 + bpc]))
-        # one extra all-pad block at the tail (guaranteed pad chunk source)
-        win_blocks.append((nwin_w - 1, [-1] * bpc))
-
-        nba = len(win_blocks)
-        total_chunks = nba * bpc
-        pad_chunk_row = total_chunks - 1       # any chunk of the tail block
-        w_local = np.full((total_chunks, chunk), vspan, np.int32)
-        doc_ids = np.zeros((total_chunks, chunk), np.int32)
-        d_loc_a = np.full((total_chunks, chunk), dspan, np.int32)
-        win_d_chunks = np.zeros(total_chunks, np.int32)
-        mask = np.zeros((total_chunks, chunk), bool)
-        flat_index = np.full((total_chunks, chunk), -1, np.int64)
-        win_w_arr = np.zeros(nba, np.int32)
-        first_w = np.zeros(nba, np.int32)
-        row_of = np.full(len(a_rows), -1, np.int64)   # a_rows idx -> chunk row
-        prev = -1
-        r = 0
-        for bi, (win, rows) in enumerate(win_blocks):
-            win_w_arr[bi] = win
-            if win != prev:
-                first_w[bi] = 1
-                prev = win
-            for cr in rows:
-                if cr >= 0:
-                    ci, s, e = a_rows[cr]
-                    m = e - s
-                    win_d_chunks[r] = int(cell_key[ci] % nwin_d)
-                    if m > 0:
-                        w_local[r, :m] = w_s[s:e] - win * vspan
-                        doc_ids[r, :m] = d_s[s:e]
-                        d_loc_a[r, :m] = d_s[s:e] - int(
-                            cell_key[ci] % nwin_d) * dspan
-                        mask[r, :m] = True
-                        flat_index[r, :m] = order[s:e]
-                    row_of[cr] = r
-                r += 1
-
-        # ---- layout B: same chunks regrouped d-window-major
-        dwin_chunks: list[list[int]] = [[] for _ in range(nwin_d)]
-        for ci in range(len(cell_key)):
-            dwi = int(cell_key[ci] % nwin_d)
-            for k in range(int(cell_pad[ci]) // chunk):
-                dwin_chunks[dwi].append(int(row_of[cell_chunk0[ci] + k]))
-        src: list[int] = []
-        win_d_list: list[int] = []
-        first_d_list: list[int] = []
-        for win in range(nwin_d):
-            rows = list(dwin_chunks[win])
-            while len(rows) % bpc:
-                rows.append(pad_chunk_row)
-            if not rows:
-                rows = [pad_chunk_row] * bpc
-            for b0 in range(0, len(rows), bpc):
-                win_d_list.append(win)
-                first_d_list.append(1 if b0 == 0 else 0)
-            src.extend(rows)
-        src_chunks = np.asarray(src, np.int32)
-        d_local = d_loc_a[src_chunks]          # [NBb*bpc, chunk]
-        nbb = len(win_d_list)
-
-        return CellBlocks(
-            w_local=w_local.reshape(nba, block),
-            doc_ids=doc_ids.reshape(nba, block),
-            mask=mask.reshape(nba, block),
-            win_w=win_w_arr, first_w=first_w,
-            flat_index=flat_index.reshape(nba, block),
-            d_local_a=d_loc_a.reshape(nba, block),
-            win_d_chunks=win_d_chunks,
-            src_chunks=src_chunks,
-            d_local=d_local.reshape(nbb, block),
-            win_d=np.asarray(win_d_list, np.int32),
-            first_d=np.asarray(first_d_list, np.int32),
-            vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
-            chunk=chunk)
+        return build_cell_blocks(self.tokens, self.token_doc_ids(),
+                                 self.num_types, self.num_docs,
+                                 block=block, vspan=vspan, dspan=dspan,
+                                 chunk=chunk)
 
     @staticmethod
     def from_token_lists(doc_tokens: list[list[int]], vocab: list[str],
@@ -397,3 +288,128 @@ class Corpus:
                 if sum(lengths) else np.zeros(0, np.int32))
         return Corpus(tokens=flat, doc_offsets=offsets, vocab=list(vocab),
                       labels=list(labels or []), doc_ids=list(doc_ids or []))
+
+
+def build_cell_blocks(tokens, doc_ids_all, num_types, num_docs, *,
+                      block: int = 4096, vspan: int = 512, dspan: int = 512,
+                      chunk: int = 128) -> "CellBlocks":
+    """Two-layout cell block structure from flat (type, doc) token arrays.
+
+    Module-level so multi-chip samplers can build per-shard blocks from a
+    token *subset* (e.g. a contiguous w-window range with window-local type
+    ids) that is not a contiguous document slice of any Corpus.
+    """
+    assert block % chunk == 0
+    tokens = np.asarray(tokens, np.int32)
+    d_all = np.asarray(doc_ids_all, np.int32)
+    n = tokens.shape[0]
+    nwin_w = max(1, (num_types + vspan - 1) // vspan)
+    nwin_d = max(1, (num_docs + dspan - 1) // dspan)
+    ww = tokens // vspan
+    dw = d_all // dspan
+    order = np.lexsort((dw, ww))           # w-window major, d-window minor
+    w_s, d_s = tokens[order], d_all[order]
+    ww_s, dw_s = ww[order], dw[order]
+
+    # cells in A order; each padded to a multiple of `chunk`
+    keys = ww_s.astype(np.int64) * nwin_d + dw_s
+    cell_key, cell_start = np.unique(keys, return_index=True)
+    cell_end = np.append(cell_start[1:], n)
+    cell_pad = ((cell_end - cell_start + chunk - 1) // chunk) * chunk
+
+    bpc = block // chunk                   # chunks per block
+    # ---- layout A: windows padded to whole blocks, + 1 all-pad block
+    win_chunks: list[list[int]] = [[] for _ in range(nwin_w)]
+    cell_chunk0 = np.zeros(len(cell_key), np.int64)
+    a_rows: list[tuple] = []               # (cell_idx, tok_s, tok_e) per chunk
+    for ci in range(len(cell_key)):
+        win = int(cell_key[ci] // nwin_d)
+        cell_chunk0[ci] = len(a_rows)
+        s, e = int(cell_start[ci]), int(cell_end[ci])
+        for c0 in range(0, int(cell_pad[ci]), chunk):
+            win_chunks[win].append(len(a_rows))
+            a_rows.append((ci, s + c0, min(e, s + c0 + chunk)))
+    # pad each window to a block multiple with all-pad chunks
+    win_blocks: list[tuple] = []           # (win, [chunk rows])
+    for win in range(nwin_w):
+        rows = list(win_chunks[win])
+        while len(rows) % bpc:
+            rows.append(-1)                # -1 = all-pad chunk
+        if not rows:
+            rows = [-1] * bpc
+        for b0 in range(0, len(rows), bpc):
+            win_blocks.append((win, rows[b0: b0 + bpc]))
+    # one extra all-pad block at the tail (guaranteed pad chunk source)
+    win_blocks.append((nwin_w - 1, [-1] * bpc))
+
+    nba = len(win_blocks)
+    total_chunks = nba * bpc
+    pad_chunk_row = total_chunks - 1       # any chunk of the tail block
+    w_local = np.full((total_chunks, chunk), vspan, np.int32)
+    doc_ids = np.zeros((total_chunks, chunk), np.int32)
+    d_loc_a = np.full((total_chunks, chunk), dspan, np.int32)
+    win_d_chunks = np.zeros(total_chunks, np.int32)
+    mask = np.zeros((total_chunks, chunk), bool)
+    flat_index = np.full((total_chunks, chunk), -1, np.int64)
+    win_w_arr = np.zeros(nba, np.int32)
+    first_w = np.zeros(nba, np.int32)
+    row_of = np.full(len(a_rows), -1, np.int64)   # a_rows idx -> chunk row
+    prev = -1
+    r = 0
+    for bi, (win, rows) in enumerate(win_blocks):
+        win_w_arr[bi] = win
+        if win != prev:
+            first_w[bi] = 1
+            prev = win
+        for cr in rows:
+            if cr >= 0:
+                ci, s, e = a_rows[cr]
+                m = e - s
+                win_d_chunks[r] = int(cell_key[ci] % nwin_d)
+                if m > 0:
+                    w_local[r, :m] = w_s[s:e] - win * vspan
+                    doc_ids[r, :m] = d_s[s:e]
+                    d_loc_a[r, :m] = d_s[s:e] - int(
+                        cell_key[ci] % nwin_d) * dspan
+                    mask[r, :m] = True
+                    flat_index[r, :m] = order[s:e]
+                row_of[cr] = r
+            r += 1
+
+    # ---- layout B: same chunks regrouped d-window-major
+    dwin_chunks: list[list[int]] = [[] for _ in range(nwin_d)]
+    for ci in range(len(cell_key)):
+        dwi = int(cell_key[ci] % nwin_d)
+        for k in range(int(cell_pad[ci]) // chunk):
+            dwin_chunks[dwi].append(int(row_of[cell_chunk0[ci] + k]))
+    src: list[int] = []
+    win_d_list: list[int] = []
+    first_d_list: list[int] = []
+    for win in range(nwin_d):
+        rows = list(dwin_chunks[win])
+        while len(rows) % bpc:
+            rows.append(pad_chunk_row)
+        if not rows:
+            rows = [pad_chunk_row] * bpc
+        for b0 in range(0, len(rows), bpc):
+            win_d_list.append(win)
+            first_d_list.append(1 if b0 == 0 else 0)
+        src.extend(rows)
+    src_chunks = np.asarray(src, np.int32)
+    d_local = d_loc_a[src_chunks]          # [NBb*bpc, chunk]
+    nbb = len(win_d_list)
+
+    return CellBlocks(
+        w_local=w_local.reshape(nba, block),
+        doc_ids=doc_ids.reshape(nba, block),
+        mask=mask.reshape(nba, block),
+        win_w=win_w_arr, first_w=first_w,
+        flat_index=flat_index.reshape(nba, block),
+        d_local_a=d_loc_a.reshape(nba, block),
+        win_d_chunks=win_d_chunks,
+        src_chunks=src_chunks,
+        d_local=d_local.reshape(nbb, block),
+        win_d=np.asarray(win_d_list, np.int32),
+        first_d=np.asarray(first_d_list, np.int32),
+        vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
+        chunk=chunk)

@@ -79,6 +79,9 @@ class TpuLDASampler:
     # orientation), "vk" = [V, K] (type-major, used by the fused GGS path
     # where per-token access is row-wise by type).
     nkw_layout = "kv"
+    # jit the whole _init_state (fast path); samplers whose init contains
+    # shard_map sections disable this (see add_instances)
+    _jit_init = True
 
     def __init__(self, config: LDAConfig, logger=None):
         self.config = config
@@ -110,9 +113,14 @@ class TpuLDASampler:
         self._prepare_device_data(corpus)
         # one fused compile for the whole init instead of op-by-op eager;
         # device data goes in as arguments, not closure constants (see
-        # _with_rebound)
-        self.state = jax.jit(self._with_rebound(self._init_state))(
-            self._device_arrays(), key)
+        # _with_rebound). Samplers whose init contains shard_map sections
+        # set _jit_init = False (nesting them under this jit hangs the
+        # axon remote compiler).
+        if self._jit_init:
+            self.state = jax.jit(self._with_rebound(self._init_state))(
+                self._device_arrays(), key)
+        else:
+            self.state = self._init_state(key)
         self.doc_batch_builder = randomscan.make_document_batch_builder(
             cfg, corpus.num_docs)
         self.topic_index_builder = randomscan.make_topic_index_builder(

@@ -56,11 +56,15 @@ from jax.experimental.pallas import tpu as pltpu
 _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
 
-def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref, win_d_ref,
-                  w_ref, d_ref, zo_ref, th_ref, ph_ref,
+def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
+                  w_ref, d_ref, zo_ref, win_d_ref, th_ref, ph_ref,
                   z_out, nkw_out, *scratch,
                   vspan, dspan, kpad, num_topics, chunks, chunk, precise,
                   stream_theta):
+    # win_d_ref is a regular SMEM-blocked input ([1, chunks] per block), NOT
+    # a scalar-prefetch operand: one int32 per chunk is ~1M entries at
+    # NYTimes scale (100M tokens) and would overflow the 1 MB SMEM if the
+    # whole array were prefetched.
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
 
@@ -70,7 +74,7 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref, win_d_ref,
         th_buf, th_sem = scratch
 
         def _th_dma(slot, c):
-            wd = win_d_ref[i * chunks + c]
+            wd = win_d_ref[0, c // 128, c % 128]
             return pltpu.make_async_copy(
                 th_ref.at[:, pl.ds(wd * dspan, dspan)],
                 th_buf.at[slot], th_sem.at[slot])
@@ -97,7 +101,7 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref, win_d_ref,
         wrow = w_ref[0, c, :]
         drow = d_ref[0, c, :]
         zold = zo_ref[0, c, :]
-        win_d = win_d_ref[i * chunks + c]
+        win_d = win_d_ref[0, c // 128, c % 128]
 
         oh_d = (iota_d == drow[None, :]).astype(jnp.bfloat16)
         oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
@@ -175,6 +179,12 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
         ph = ph.astype(jnp.bfloat16)
     krows = th.shape[0]
 
+    # per-chunk d-window ids, SMEM-blocked per block (padded to 128 lanes so
+    # the block shape equals the array's trailing dims — the TPU tiling rule)
+    wd_rows = max(1, -(-chunks // 128))
+    wd3 = jnp.pad(win_d_chunks.reshape(nb, chunks),
+                  ((0, 0), (0, wd_rows * 128 - chunks))
+                  ).reshape(nb, wd_rows, 128)
     th_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_theta
                else pl.BlockSpec((krows, dpad), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM))
@@ -182,7 +192,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                        pltpu.SemaphoreType.DMA((2,))] if stream_theta
                       else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, chunks, chunk),
@@ -191,16 +201,18 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunks, chunk),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             th_spec,
             pl.BlockSpec((krows, vspan),
-                         lambda i, seed, ww, fw, wd: (0, ww[i]),
+                         lambda i, seed, ww, fw: (0, ww[i]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, chunks, chunk),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vspan, kpad),
-                         lambda i, seed, ww, fw, wd: (ww[i], 0),
+                         lambda i, seed, ww, fw: (ww[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch_shapes,
@@ -215,7 +227,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
             jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
         ],
         grid_spec=grid_spec,
-    )(seed, win_w, first_w, win_d_chunks, w3, d3, z_old, th, ph)
+    )(seed, win_w, first_w, w3, d3, z_old, wd3, th, ph)
     return z, nkw[:, :num_topics].astype(jnp.int32)
 
 

@@ -102,3 +102,87 @@ def test_sharded_adlda_runs_and_conserves(mesh8, synthetic_corpus):
     top = top_words(nkw, synthetic_corpus.vocab, 5)
     pure = sum(1 for ws in top if len({w.split("_")[0] for w in ws}) == 1)
     assert pure >= 2, top
+
+
+# ----------------------------------------------------------------------
+# VocabShardedGGS: the fused-kernel multi-chip composition (vocab windows
+# sharded; ndk psum + nkw placement psum are the only collectives).
+# ----------------------------------------------------------------------
+def _vcfg(**kw):
+    defaults = dict(scheme="ggs", topics=3, alpha=1.0, beta=0.01, seed=7,
+                    exec_time=-1, token_block=256, vocab_span=4, doc_span=16)
+    defaults.update(kw)
+    return LDAConfig(**defaults)
+
+
+def test_partition_windows_balanced():
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        partition_windows)
+    tf = np.array([100, 5, 5, 3, 2, 2, 1, 1, 1, 1, 1, 1] + [1] * 20)
+    bounds = partition_windows(tf, 4, 4)
+    assert bounds[0] == 0 and bounds[-1] == -(-len(tf) // 4)
+    assert all(bounds[i] < bounds[i + 1] for i in range(4))
+
+
+def test_vocab_sharded_ggs_conserves_and_learns(mesh8, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS)
+    model = VocabShardedGGS(_vcfg(), mesh=mesh8)
+    model.add_instances(synthetic_corpus)
+    model.sample(60)
+    st = model.state
+    n = synthetic_corpus.num_tokens
+    assert int(np.asarray(st.nkw).sum()) == n
+    assert int(np.asarray(st.ndk).sum()) == n
+    # nkw/ndk must equal histograms of the z indicators
+    z = model.get_z_indicators()
+    w = synthetic_corpus.tokens
+    d = synthetic_corpus.token_doc_ids()
+    ref_nkw = np.zeros((synthetic_corpus.num_types, 3), np.int64)
+    np.add.at(ref_nkw, (w, z), 1)
+    np.testing.assert_array_equal(np.asarray(st.nkw), ref_nkw)
+    ref_ndk = np.zeros((synthetic_corpus.num_docs, 3), np.int64)
+    np.add.at(ref_ndk, (d, z), 1)
+    np.testing.assert_array_equal(np.asarray(st.ndk), ref_ndk)
+    # learns the planted 3-block structure
+    nkw_kv = np.asarray(st.nkw).T
+    blocks = nkw_kv.reshape(3, 3, 10).sum(axis=2)
+    purity = blocks.max(axis=1) / np.maximum(blocks.sum(axis=1), 1)
+    assert purity.mean() > 0.7, purity
+
+
+def test_vocab_sharded_vs_single_chip_statistics(mesh8, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+        model_log_likelihood)
+    from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS)
+
+    single = LDAGroupedGibbsSampler(_vcfg())
+    single.add_instances(synthetic_corpus)
+    single.sample(50)
+    sharded = VocabShardedGGS(_vcfg(), mesh=mesh8)
+    sharded.add_instances(synthetic_corpus)
+    sharded.sample(50)
+    ll1 = float(model_log_likelihood(single.get_document_topic_matrix(),
+                                     single.get_topic_type_counts(),
+                                     single.state.alpha, 0.01))
+    ll8 = float(model_log_likelihood(sharded.get_document_topic_matrix(),
+                                     sharded.get_topic_type_counts(),
+                                     sharded.state.alpha, 0.01))
+    assert abs(ll1 - ll8) / abs(ll1) < 0.05, (ll1, ll8)
+
+
+def test_vocab_sharded_z_roundtrip(mesh8, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS)
+    model = VocabShardedGGS(_vcfg(), mesh=mesh8)
+    model.add_instances(synthetic_corpus)
+    z0 = np.asarray(
+        np.arange(synthetic_corpus.num_tokens) % 3, np.int32)
+    model.set_z_indicators(z0)
+    np.testing.assert_array_equal(model.get_z_indicators(), z0)
+    w = synthetic_corpus.tokens
+    ref = np.zeros((synthetic_corpus.num_types, 3), np.int64)
+    np.add.at(ref, (w, z0), 1)
+    np.testing.assert_array_equal(np.asarray(model.state.nkw), ref)
