@@ -81,6 +81,9 @@ def main(argv=None):
     ap.add_argument("--out", default="BENCH_MATRIX.json")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip_nyt", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated result-key prefixes to run; "
+                         "other items keep their previous value from --out")
     args = ap.parse_args(argv)
 
     import jax
@@ -93,65 +96,86 @@ def main(argv=None):
     from ldagroupedgibbssampler_tpu.corpus import load_dataset
     from ldagroupedgibbssampler_tpu.models.registry import create_model
 
+    import os
+    prev = {}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("results", {})
+    wanted = [w for w in args.only.split(",") if w]
+
+    def want(key):
+        return not wanted or any(key.startswith(w) for w in wanted)
+
     report = {"platform": str(jax.devices()[0]),
-              "num_devices": jax.device_count(), "results": {}}
+              "num_devices": jax.device_count(), "results": dict(prev)}
     iters = 3 if args.quick else 10
 
     # 1. CGS on cats (the plda-cats-test.cfg settings) — correctness oracle
-    cats = load_dataset(
+    need_cats = want("1_cgs_cats") or want("3b_ggs_vs_cgs_ll_cats")
+    cats = None if not need_cats else load_dataset(
         "/root/reference/src/main/resources/datasets/cats.txt",
         stoplist_path=None, rare_threshold=0)
-    cfg1 = LDAConfig(scheme="collapsed", topics=3, alpha=5.0, beta=7.0,
-                     seed=2019, exec_time=-1)
-    m1 = create_model(cfg1)
-    m1.add_instances(cats)
-    t0 = time.perf_counter()
-    m1.sample(20)
-    dt = (time.perf_counter() - t0) / 20
     from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
         model_log_likelihood)
-    ll_cgs = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
-                                        m1.get_alpha(), m1.get_beta()))
-    report["results"]["1_cgs_cats"] = {
-        "tokens_per_sec": round(cats.num_tokens / dt, 1),
-        "model_ll": round(ll_cgs, 1)}
+    m1 = None
+    if need_cats:
+        cfg1 = LDAConfig(scheme="collapsed", topics=3, alpha=5.0, beta=7.0,
+                         seed=2019, exec_time=-1)
+        m1 = create_model(cfg1)
+        m1.add_instances(cats)
+        t0 = time.perf_counter()
+        m1.sample(20)
+        dt = (time.perf_counter() - t0) / 20
+        ll_cgs = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
+                                            m1.get_alpha(), m1.get_beta()))
+        if want("1_cgs_cats"):
+            report["results"]["1_cgs_cats"] = {
+                "tokens_per_sec": round(cats.num_tokens / dt, 1),
+                "model_ll": round(ll_cgs, 1)}
 
     corpus = synth_20ng()
 
     # 2. PCGS on 20NG-scale, K=20
-    cfg2 = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
-                     seed=2019, exec_time=-1)
-    m2 = create_model(cfg2)
-    m2.add_instances(corpus)
-    report["results"]["2_pcgs_20ng_k20"] = {
-        "tokens_per_sec": round(_throughput(m2, corpus, iters), 1)}
+    m2 = None
+    if want("2_pcgs_20ng_k20"):
+        cfg2 = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
+                         seed=2019, exec_time=-1)
+        m2 = create_model(cfg2)
+        m2.add_instances(corpus)
+        report["results"]["2_pcgs_20ng_k20"] = {
+            "tokens_per_sec": round(_throughput(m2, corpus, iters), 1)}
 
     # 3. GGS on 20NG-scale, K=100 (the headline; bench.py measures the
     #    fused multi-iteration variant)
-    cfg3 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
-                     seed=2019, exec_time=-1)
-    m3 = create_model(cfg3)
-    m3.add_instances(corpus)
-    report["results"]["3_ggs_20ng_k100"] = {
-        "tokens_per_sec": round(_throughput(m3, corpus, iters), 1)}
+    m3 = None
+    if want("3_ggs_20ng_k100"):
+        cfg3 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
+                         seed=2019, exec_time=-1)
+        m3 = create_model(cfg3)
+        m3.add_instances(corpus)
+        report["results"]["3_ggs_20ng_k100"] = {
+            "tokens_per_sec": round(_throughput(m3, corpus, iters), 1)}
 
     # 3b. GGS quality: held-out LL parity vs the CGS oracle on cats
-    cfgq = LDAConfig(scheme="ggs", topics=3, alpha=5.0, beta=7.0, seed=2019,
-                     exec_time=-1)
-    mq = create_model(cfgq)
-    mq.add_instances(cats)
-    mq.sample(100)
-    ll_ggs = float(model_log_likelihood(mq.state.ndk, mq._nkw_kv(),
-                                        mq.get_alpha(), mq.get_beta()))
-    m1.sample(80)   # bring the oracle to 100 iterations too
-    ll_cgs100 = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
-                                           m1.get_alpha(), m1.get_beta()))
-    report["results"]["3b_ggs_vs_cgs_ll_cats"] = {
-        "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
-        "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
+    mq = None
+    if want("3b_ggs_vs_cgs_ll_cats"):
+        cfgq = LDAConfig(scheme="ggs", topics=3, alpha=5.0, beta=7.0,
+                         seed=2019, exec_time=-1)
+        mq = create_model(cfgq)
+        mq.add_instances(cats)
+        mq.sample(100)
+        ll_ggs = float(model_log_likelihood(mq.state.ndk, mq._nkw_kv(),
+                                            mq.get_alpha(), mq.get_beta()))
+        m1.sample(80)   # bring the oracle to 100 iterations too
+        ll_cgs100 = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
+                                               m1.get_alpha(),
+                                               m1.get_beta()))
+        report["results"]["3b_ggs_vs_cgs_ll_cats"] = {
+            "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
+            "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
 
-    # 4 + 3c. Sharded GGS / ADLDA over the available mesh
-    if jax.device_count() >= 2:
+    # 4 + 3c/3d. Sharded GGS / ADLDA / vocab-sharded GGS over the mesh
+    if jax.device_count() >= 2 and (want("3c") or want("4_") or want("3d")):
         from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
         from ldagroupedgibbssampler_tpu.parallel.sharded_adlda import (
             ShardedADLDA)
@@ -160,31 +184,44 @@ def main(argv=None):
         small = synth_20ng(seed=1)
         cfg4 = LDAConfig(scheme="ggs", topics=20, alpha=0.5, beta=0.01,
                          seed=2019, exec_time=-1)
-        ms = ShardedGGS(cfg4, mesh=mesh)
-        ms.add_instances(small)
-        report["results"]["3c_sharded_ggs"] = {
-            "devices": jax.device_count(),
-            "tokens_per_sec": round(_throughput(ms, small, iters), 1)}
-        ma = ShardedADLDA(cfg4.replace(scheme="adlda"), mesh=mesh)
-        ma.add_instances(small)
-        report["results"]["4_sharded_adlda"] = {
-            "devices": jax.device_count(),
-            "tokens_per_sec": round(_throughput(ma, small, iters), 1)}
+        if want("3c"):
+            ms = ShardedGGS(cfg4, mesh=mesh)
+            ms.add_instances(small)
+            report["results"]["3c_sharded_ggs"] = {
+                "devices": jax.device_count(),
+                "tokens_per_sec": round(_throughput(ms, small, iters), 1)}
+        if want("4_"):
+            ma = ShardedADLDA(cfg4.replace(scheme="adlda"), mesh=mesh)
+            ma.add_instances(small)
+            report["results"]["4_sharded_adlda"] = {
+                "devices": jax.device_count(),
+                "tokens_per_sec": round(_throughput(ma, small, iters), 1)}
+        if want("3d"):
+            from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs \
+                import VocabShardedGGS
+            mv = VocabShardedGGS(cfg4, mesh=mesh)
+            mv.add_instances(small)
+            report["results"]["3d_vocab_sharded_ggs"] = {
+                "devices": jax.device_count(),
+                "tokens_per_sec": round(_throughput(mv, small, iters), 1)}
 
     # 5. GGS at K=1000 (large-K dense path)
-    cfg5 = LDAConfig(scheme="ggs", topics=1000, alpha=0.05, beta=0.01,
-                     seed=2019, exec_time=-1)
-    m5 = create_model(cfg5)
-    m5.add_instances(corpus)
-    report["results"]["5_ggs_20ng_k1000"] = {
-        "tokens_per_sec": round(_throughput(m5, corpus,
-                                            max(3, iters // 2)), 1)}
+    m5 = None
+    if want("5_ggs_20ng_k1000"):
+        cfg5 = LDAConfig(scheme="ggs", topics=1000, alpha=0.05, beta=0.01,
+                         seed=2019, exec_time=-1)
+        m5 = create_model(cfg5)
+        m5.add_instances(corpus)
+        report["results"]["5_ggs_20ng_k1000"] = {
+            "tokens_per_sec": round(_throughput(m5, corpus,
+                                                max(3, iters // 2)), 1)}
 
     # 6. NYTimes-scale GGS (D=300k, V=102,660, N≈100M — the UCI stats the
     #    reference quotes in datasets/README.txt): production-scale run on
     #    one chip via the HBM-streamed theta kernel. doc_span=1024 keeps
     #    (w-window, d-window) cell padding low at this document count.
-    if not args.skip_nyt and jax.default_backend() == "tpu":
+    if (not args.skip_nyt and jax.default_backend() == "tpu"
+            and want("6_ggs_nyt_k100")):
         del m2, m3, m5, mq
         nyt = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
         cfg6 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
