@@ -52,6 +52,22 @@ SCHEMES = {
                     "NZVSSpaliasUncollapsedParallelLDA Parallel LDA."),
 }
 
+# Multi-chip variants (beyond the reference, whose parallelism was
+# single-process threads): constructed with the default mesh over all
+# visible devices; mesh shape/axes come from config.mesh_shape /
+# config.mesh_axis_names.
+_SHARDED_SCHEMES = {
+    "sharded_ggs": ("parallel.sharded_ggs", "ShardedGGS",
+                    "GGS, documents sharded over the device mesh "
+                    "(per-iteration N_kw psum)."),
+    "vocab_sharded_ggs": ("parallel.vocab_sharded_ggs", "VocabShardedGGS",
+                          "GGS, vocabulary windows sharded over the device "
+                          "mesh; fused Pallas kernel per shard."),
+    "sharded_adlda": ("parallel.sharded_adlda", "ShardedADLDA",
+                      "ADLDA, replicated stale counts + per-sweep psum "
+                      "merge over the device mesh."),
+}
+
 
 def create_model(config: LDAConfig, scheme: str | None = None, logger=None,
                  verbose: bool = False):
@@ -61,9 +77,16 @@ def create_model(config: LDAConfig, scheme: str | None = None, logger=None,
     model type. Aborting", ParallelLDA.java:486-489).
     """
     scheme = scheme or config.scheme
+    if scheme in _SHARDED_SCHEMES:
+        module_name, class_name, description = _SHARDED_SCHEMES[scheme]
+        module = importlib.import_module(
+            f"ldagroupedgibbssampler_tpu.{module_name}")
+        if verbose:
+            print(description)
+        return getattr(module, class_name)(config, logger=logger)
     if scheme not in SCHEMES:
         raise ValueError(f"Invalid model type {scheme!r}. Known schemes: "
-                         f"{sorted(SCHEMES)}")
+                         f"{sorted(SCHEMES) + sorted(_SHARDED_SCHEMES)}")
     module_name, class_name, description = SCHEMES[scheme]
     module = importlib.import_module(
         f"ldagroupedgibbssampler_tpu.models.{module_name}")

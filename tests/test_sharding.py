@@ -186,3 +186,16 @@ def test_vocab_sharded_z_roundtrip(mesh8, synthetic_corpus):
     ref = np.zeros((synthetic_corpus.num_types, 3), np.int64)
     np.add.at(ref, (w, z0), 1)
     np.testing.assert_array_equal(np.asarray(model.state.nkw), ref)
+
+
+def test_sharded_schemes_in_registry(mesh8, synthetic_corpus):
+    """Multi-chip samplers are reachable through the scheme registry
+    (config-driven, like ParallelLDA.createModel's scheme strings)."""
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+    cfg = _vcfg(scheme="vocab_sharded_ggs", mesh_shape=(8,))
+    m = create_model(cfg)
+    m.add_instances(synthetic_corpus)
+    m.sample(3)
+    assert int(np.asarray(m.state.nkw).sum()) == synthetic_corpus.num_tokens
+    with pytest.raises(ValueError, match="Invalid model type"):
+        create_model(_vcfg(scheme="bogus"))
