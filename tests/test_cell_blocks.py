@@ -92,3 +92,74 @@ def test_inverse_cdf_draw_distribution():
     exp = (p_row / p_row.sum()).astype(np.float64) * obs.sum()
     chi2 = float(((obs - exp) ** 2 / exp).sum())
     assert sps.chi2.sf(chi2, K - 1) > 1e-4
+
+
+def test_vectorised_builder_matches_reference_oracle():
+    """build_cell_blocks (vectorised) is bit-identical to the loop-form
+    specification across corpus shapes, spans, and edge cases (empty
+    windows, single-window, tiny corpora)."""
+    import numpy as np
+    from ldagroupedgibbssampler_tpu.corpus.ragged import (
+        build_cell_blocks, build_cell_blocks_reference)
+
+    rng = np.random.default_rng(0)
+    cases = [
+        # (num_types, num_docs, n_tokens, block, vspan, dspan, chunk)
+        (700, 90, 5000, 1024, 128, 128, 128),
+        (700, 90, 5000, 512, 256, 64, 64),
+        (50, 10, 200, 256, 16, 8, 64),
+        (300, 500, 8000, 1024, 128, 512, 128),
+        (40, 7, 31, 256, 128, 128, 128),       # single w-window
+        (1000, 50, 900, 512, 64, 16, 128),     # many empty windows
+    ]
+    for (v, d, n, block, vspan, dspan, chunk) in cases:
+        toks = rng.integers(0, v, n).astype(np.int32)
+        # skew: make low ids dominate so some windows are empty
+        toks = np.minimum(toks, rng.integers(0, v, n)).astype(np.int32)
+        docs = np.sort(rng.integers(0, d, n)).astype(np.int32)
+        a = build_cell_blocks(toks, docs, v, d, block=block, vspan=vspan,
+                              dspan=dspan, chunk=chunk)
+        b = build_cell_blocks_reference(toks, docs, v, d, block=block,
+                                        vspan=vspan, dspan=dspan,
+                                        chunk=chunk)
+        for name in ("w_local", "doc_ids", "mask", "win_w", "first_w",
+                     "flat_index", "d_local_a", "win_d_chunks",
+                     "src_chunks", "d_local", "win_d", "first_d"):
+            np.testing.assert_array_equal(
+                getattr(a, name), getattr(b, name),
+                err_msg=f"{name} differs for case {(v, d, n, block, vspan, dspan, chunk)}")
+        assert (a.nwin_w, a.nwin_d) == (b.nwin_w, b.nwin_d)
+
+
+def test_native_builder_matches_reference_oracle():
+    """The C++ builder (native/cell_blocks.cpp) is bit-identical to both
+    Python builders."""
+    import numpy as np
+    import pytest
+    from ldagroupedgibbssampler_tpu.corpus.native_blocks import (
+        build_cell_blocks_native, native_available)
+    from ldagroupedgibbssampler_tpu.corpus.ragged import (
+        build_cell_blocks_reference)
+
+    if not native_available():
+        pytest.skip("no g++ available")
+    rng = np.random.default_rng(1)
+    for (v, d, n, block, vspan, dspan, chunk) in [
+            (700, 90, 5000, 1024, 128, 128, 128),
+            (50, 10, 200, 256, 16, 8, 64),
+            (1000, 50, 900, 512, 64, 16, 128),
+            (300, 500, 8000, 1024, 128, 512, 128)]:
+        toks = np.minimum(rng.integers(0, v, n),
+                          rng.integers(0, v, n)).astype(np.int32)
+        docs = np.sort(rng.integers(0, d, n)).astype(np.int32)
+        a = build_cell_blocks_native(toks, docs, v, d, block=block,
+                                     vspan=vspan, dspan=dspan, chunk=chunk)
+        assert a is not None
+        b = build_cell_blocks_reference(toks, docs, v, d, block=block,
+                                        vspan=vspan, dspan=dspan,
+                                        chunk=chunk)
+        for name in ("w_local", "doc_ids", "mask", "win_w", "first_w",
+                     "flat_index", "d_local_a", "win_d_chunks",
+                     "src_chunks", "d_local", "win_d", "first_d"):
+            np.testing.assert_array_equal(
+                getattr(a, name), getattr(b, name), err_msg=name)
