@@ -244,6 +244,14 @@ class TpuLDASampler:
         deadline = time.time() + cfg.exec_time if cfg.exec_time > 0 else None
         self.pre_sample()
         start_iter = int(self.state.iteration)
+        # measure_timing (UncollapsedParallelLDA.java:1340-1347 wrote
+        # per-thread phase files): per-iteration wall times to timings.txt
+        # plus one jax-profiler (xprof) trace of iterations 2-4 under
+        # timing_data/ — phases are fused into one device program on TPU,
+        # so the trace is where per-phase device time lives.
+        self._tracing = False
+        trace_dir = (os.path.join(self.logger.run_dir, "timing_data")
+                     if cfg.measure_timing and self.logger else None)
         for it in range(start_iter + 1, start_iter + iterations + 1):
             t0 = time.perf_counter()
             self.pre_iteration()
@@ -275,6 +283,21 @@ class TpuLDASampler:
                     jnp.any(self.state.nkw != prev_nkw, axis=0))
             if cfg.paranoid:
                 self._paranoid_checks()
+            if trace_dir is not None:
+                self.logger.log_timing(
+                    f"iteration_{it}", (time.perf_counter() - t0) * 1e3)
+                if it == start_iter + 2 and not self._tracing:
+                    try:
+                        jax.profiler.start_trace(trace_dir)
+                        self._tracing = True
+                    except Exception:
+                        trace_dir = None
+                elif it == start_iter + 4 and self._tracing:
+                    jax.block_until_ready(self.state.nkw)
+                    try:
+                        jax.profiler.stop_trace()
+                    finally:
+                        self._tracing = False
             self._periodic_logging(it, t0)
             self._interval_dumps(it, prev_nkw)
             self._accumulate_phi_mean(it, iterations)
@@ -291,6 +314,12 @@ class TpuLDASampler:
             if deadline is not None and time.time() > deadline:
                 break
         jax.block_until_ready(self.state.z)
+        if self._tracing:   # break/abort inside the trace window
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            self._tracing = False
         self.post_sample()
         return self
 

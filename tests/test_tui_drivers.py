@@ -115,3 +115,29 @@ def test_rare_words_experiment():
     rows = rare_words_experiment(cats, [0, 2], stoplist=None)
     assert rows[0]["vocab"] >= rows[1]["vocab"]
     assert rows[0]["corpus_tokens"] >= rows[1]["corpus_tokens"]
+
+
+def test_measure_timing_writes_timings_and_trace(tmp_path, cats_corpus):
+    """measure_timing=true writes per-iteration wall times and a jax
+    profiler trace directory (the reference's timing_data equivalent,
+    UncollapsedParallelLDA.java:1340-1347)."""
+    import os
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+    from ldagroupedgibbssampler_tpu.utils.logging_utils import RunLogger
+
+    logger = RunLogger.create_run_suite(str(tmp_path), "t")
+    cfg = LDAConfig(scheme="ggs", topics=3, alpha=1.0, beta=0.1, seed=5,
+                    exec_time=-1, measure_timing=True, topic_interval=-1)
+    m = create_model(cfg, logger=logger)
+    m.add_instances(cats_corpus)
+    m.sample(6)
+    timings = os.path.join(logger.run_dir, "timings.txt")
+    assert os.path.exists(timings)
+    rows = open(timings).read().strip().split("\n")
+    assert len(rows) == 6 and rows[0].startswith("iteration_1\t")
+    trace = os.path.join(logger.run_dir, "timing_data")
+    # the profiler may be unavailable on some backends; when it ran, the
+    # trace directory must be non-empty
+    if os.path.isdir(trace):
+        assert any(files for _, _, files in os.walk(trace))
