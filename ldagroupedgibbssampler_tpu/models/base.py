@@ -39,6 +39,18 @@ from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.utils.timing import IterationStats
 
 
+def _min_pairwise_distances(x) -> jnp.ndarray:
+    """Per-row min Euclidean distance to any OTHER row (the diagnostics of
+    UncollapsedParallelLDA.java:723-806), as one [rows] vector via a Gram
+    matmul instead of the reference's triple loop."""
+    x = jnp.asarray(x, jnp.float32)
+    sq = jnp.sum(x * x, axis=1)
+    g = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    g = jnp.where(jnp.eye(x.shape[0], dtype=bool), jnp.inf,
+                  jnp.maximum(g, 0.0))
+    return jnp.sqrt(jnp.min(g, axis=1))
+
+
 class LDAState(NamedTuple):
     """One immutable snapshot of the Markov chain.
 
@@ -382,6 +394,17 @@ class TpuLDASampler:
                                      float(st.beta)))
             if self.logger:
                 self.logger.log_posterior(it, lp)
+            if cfg.compute_doc_topic_distances and self.logger:
+                # min pairwise Euclidean distances between theta rows and
+                # between phi rows, one CSV row per diagnostic iteration
+                # (UncollapsedParallelLDA.java:723-806) — O(D^2)/O(K^2)
+                # matmuls on device, opt-in
+                dd = np.asarray(_min_pairwise_distances(theta))
+                td = np.asarray(_min_pairwise_distances(self._phi_kv(st)))
+                self.logger.log_min_distances("min_doc_distances.csv",
+                                              it, dd)
+                self.logger.log_min_distances("min_topic_distances.csv",
+                                              it, td)
         if self.test_corpus is not None:
             hll = self._held_out_log_likelihood()
             self._held_out_history.append((it, hll))

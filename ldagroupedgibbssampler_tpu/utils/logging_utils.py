@@ -122,6 +122,12 @@ class RunLogger:
         row = "\t".join(f"{k}={mem_stats.get(k, '-')}" for k in keys)
         self._append("log-detail-metrics.txt", f"{iteration}\t{row}")
 
+    def log_min_distances(self, filename: str, iteration: int, dists):
+        """Append one `iteration,v1,v2,...` row (min_doc_distances.csv /
+        min_topic_distances.csv, UncollapsedParallelLDA.java:746-752)."""
+        vals = ",".join(f"{v:.6g}" for v in dists)
+        self._append(filename, f"{iteration},{vals}")
+
     def save_lines(self, filename: str, lines: Iterable[str]):
         with open(os.path.join(self.run_dir, filename), "w",
                   encoding="utf-8") as f:

@@ -141,3 +141,41 @@ def test_measure_timing_writes_timings_and_trace(tmp_path, cats_corpus):
     # trace directory must be non-empty
     if os.path.isdir(trace):
         assert any(files for _, _, files in os.walk(trace))
+
+
+def test_compute_doc_topic_distances(tmp_path, cats_corpus):
+    """compute_doc_topic_distances writes the reference's min-distance CSVs
+    (UncollapsedParallelLDA.java:723-806) with one row per diagnostic
+    iteration and correct values."""
+    import os
+    import numpy as np
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+    from ldagroupedgibbssampler_tpu.utils.logging_utils import RunLogger
+
+    logger = RunLogger.create_run_suite(str(tmp_path), "d")
+    cfg = LDAConfig(scheme="ggs", topics=3, alpha=1.0, beta=0.1, seed=5,
+                    exec_time=-1, topic_interval=2, start_diagnostic=1,
+                    compute_doc_topic_distances=True)
+    m = create_model(cfg, logger=logger)
+    m.add_instances(cats_corpus)
+    m.sample(4)
+    for fn, rows_len in (("min_doc_distances.csv", cats_corpus.num_docs),
+                         ("min_topic_distances.csv", 3)):
+        path = os.path.join(logger.run_dir, fn)
+        assert os.path.exists(path), fn
+        lines = open(path).read().strip().split("\n")
+        assert len(lines) == 2              # iterations 2 and 4
+        vals = lines[-1].split(",")
+        assert len(vals) == rows_len + 1
+        assert all(float(v) > 0 for v in vals[1:])
+    # spot-check the math against numpy on the final theta
+    theta = np.asarray(m.state.theta)
+    d = np.sqrt(((theta[:, None, :] - theta[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    got = np.array([float(v) for v in lines[-1].split(",")[1:]])
+    # last file checked is min_topic_distances; recompute for phi
+    phi = np.asarray(m.get_phi())
+    dp = np.sqrt(((phi[:, None, :] - phi[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(dp, np.inf)
+    np.testing.assert_allclose(got, dp.min(1), rtol=2e-3)
