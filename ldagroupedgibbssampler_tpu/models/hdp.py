@@ -78,6 +78,21 @@ def sample_table_counts(key, ndk, a, max_count: int):
     return jnp.sum(draws, axis=1)                                # [K]
 
 
+def calc_k(percentile: float, tokens_per_topic) -> int:
+    """Number of largest topics whose cumulative share of the token mass
+    first exceeds `percentile` (config key `hdp_k_percentile`;
+    PoissonPolyaUrnHDPLDAInfiniteTopics.java:335-359 — reproduces its
+    first-index-exceeding convention, including returning the index j, not
+    j + 1)."""
+    alloc = np.sort(np.asarray(tokens_per_topic))[::-1]
+    if alloc.size == 0:
+        return 0
+    ecdf = np.cumsum(alloc)
+    total = max(float(ecdf[-1]), 1.0)
+    idx = np.nonzero(ecdf / total > percentile)[0]
+    return int(idx[0]) if idx.size else int(alloc.size)
+
+
 def gem_psi(key, tables, gamma: float):
     """Stick-breaking psi ~ GEM posterior given table counts
     (GEMBasedPsiSampler, PoissonPolyaUrnHDPLDA.java:402-500)."""
@@ -101,6 +116,7 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(TpuLDASampler):
     def __init__(self, config, logger=None):
         super().__init__(config, logger=logger)
         self.active_topic_history: list[int] = []
+        self.k_percentile_history: list[int] = []
         self.topic_occurrence_count = None
 
     # -- state ---------------------------------------------------------
@@ -156,12 +172,21 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(TpuLDASampler):
         nk = np.asarray(self.state.nk)
         active = int((nk > 0).sum())
         self.active_topic_history.append(active)
+        self.k_percentile_history.append(
+            calc_k(self.config.hdp_k_percentile, nk))
         occ = (nk > 0).astype(np.int64)
         self.topic_occurrence_count = occ if self.topic_occurrence_count \
             is None else self.topic_occurrence_count + occ
 
     def get_active_topic_history(self) -> list[int]:
         return list(self.active_topic_history)
+
+    def get_k_percentile_history(self) -> list[int]:
+        """Per-iteration calcK statistic — the number of largest topics
+        covering `hdp_k_percentile` of the token mass (the reference's
+        activeTopicHistory, PoissonPolyaUrnHDPLDAInfiniteTopics.java:
+        322-323,335-359)."""
+        return list(self.k_percentile_history)
 
     def get_topic_occurrence_count(self):
         return self.topic_occurrence_count

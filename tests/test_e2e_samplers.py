@@ -145,3 +145,26 @@ def test_set_z_indicators_rebuilds_counts(cats_corpus):
     st = model.state
     assert int(np.asarray(st.nkw).sum()) == cats_corpus.num_tokens
     np.testing.assert_array_equal(model.get_z_indicators(), perm)
+
+
+def test_hdp_k_percentile_statistic(synthetic_corpus):
+    """calc_k matches the reference convention and the per-iteration
+    history is recorded (hdp_k_percentile)."""
+    from ldagroupedgibbssampler_tpu.models.hdp import calc_k
+    # 3 equal topics: top-1 share 1/3 <= 0.8, top-2 2/3 <= 0.8, top-3 1.0
+    # -> first index exceeding is j=2
+    assert calc_k(0.8, [100, 100, 100, 0]) == 2
+    assert calc_k(0.5, [90, 5, 5]) == 0       # top topic alone covers 90%
+    # degenerate no-token case: the reference's loop never exceeds the
+    # percentile and falls through to ecdf.length
+    assert calc_k(0.99, [0, 0]) == 2
+    cfg = LDAConfig(scheme="ppu_hdplda_all_topics", topics=10, alpha=1.0,
+                    beta=0.01, iterations=10, seed=5, exec_time=-1,
+                    hdp_start_topics=1, hdp_gamma=1.0, hdp_k_percentile=0.8)
+    from ldagroupedgibbssampler_tpu.models.registry import create_model as cm
+    model = cm(cfg)
+    model.add_instances(synthetic_corpus)
+    model.sample(10)
+    hist = model.get_k_percentile_history()
+    assert len(hist) == 10
+    assert all(0 <= k <= 10 for k in hist)
