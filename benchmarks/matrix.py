@@ -216,6 +216,19 @@ def main(argv=None):
             "tokens_per_sec": round(_throughput(m5, corpus,
                                                 max(3, iters // 2)), 1)}
 
+    # 7/8. other sampler families at 20NG scale, K=100 (single chip)
+    for key, scheme, kk in (("7_spalias_20ng_k100", "spalias", 100),
+                            ("8_adlda_20ng_k100", "adlda", 100)):
+        if want(key):
+            cfgx = LDAConfig(scheme=scheme, topics=kk, alpha=0.5, beta=0.01,
+                             seed=2019, exec_time=-1)
+            mx = create_model(cfgx)
+            mx.add_instances(corpus)
+            report["results"][key] = {
+                "tokens_per_sec": round(_throughput(mx, corpus,
+                                                    max(3, iters // 2)), 1)}
+            del mx
+
     # 6. NYTimes-scale GGS (D=300k, V=102,660, N≈100M — the UCI stats the
     #    reference quotes in datasets/README.txt): production-scale run on
     #    one chip via the HBM-streamed theta kernel. doc_span=1024 keeps
