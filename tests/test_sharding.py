@@ -199,3 +199,18 @@ def test_sharded_schemes_in_registry(mesh8, synthetic_corpus):
     assert int(np.asarray(m.state.nkw).sum()) == synthetic_corpus.num_tokens
     with pytest.raises(ValueError, match="Invalid model type"):
         create_model(_vcfg(scheme="bogus"))
+
+
+def test_vocab_sharded_determinism(mesh8, synthetic_corpus):
+    """Fixed-key determinism holds across runs of the multi-chip sampler
+    (the sharded analogue of TestBetweenProcessInitialization.java:23)."""
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS)
+    outs = []
+    for _ in range(2):
+        m = VocabShardedGGS(_vcfg(), mesh=mesh8)
+        m.add_instances(synthetic_corpus)
+        m.sample(5)
+        outs.append((m.get_z_indicators(), np.asarray(m.state.phi)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
