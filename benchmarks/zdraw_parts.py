@@ -29,7 +29,8 @@ K = 100
 def main():
     corpus = synth_20ng()
     cfg = LDAConfig(scheme="ggs", topics=K, alpha=0.1, beta=0.01,
-                    iterations=1, seed=7, exec_time=-1)
+                    iterations=1, seed=7, exec_time=-1,
+                    zdraw_kernel="xla")  # this ablation probes the XLA path
     model = LDAGroupedGibbsSampler(cfg)
     model.add_instances(corpus)
     st = model.state

@@ -76,12 +76,15 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         self._blocks = blocks
         self.wb = jnp.asarray(blocks.w_local)      # sentinel vspan on pads
         self.num_blocks = blocks.w_local.shape[0]
-        # flat token arrays for the fused z-draw (layout A token order)
-        w_glob = (np.minimum(blocks.w_local, vspan - 1)
-                  + blocks.win_w[:, None] * vspan).reshape(-1)
-        self.wg = jnp.asarray(w_glob.astype(np.int32))
-        self.df = jnp.asarray(blocks.doc_ids.reshape(-1))
         self.mf = jnp.asarray(blocks.mask.reshape(-1))
+        # flat per-token (type, doc) arrays exist only for the XLA-fallback
+        # z-draw and the CPU n_dk scatter — 8 bytes/slot that the fused TPU
+        # path never reads (~7 GB at PubMed scale)
+        if not self._use_fused_zdraw():
+            w_glob = (np.minimum(blocks.w_local, vspan - 1)
+                      + blocks.win_w[:, None] * vspan).reshape(-1)
+            self.wg = jnp.asarray(w_glob.astype(np.int32))
+            self.df = jnp.asarray(blocks.doc_ids.reshape(-1))
         self.winb = jnp.asarray(blocks.win_w)
         self.firstb = jnp.asarray(blocks.first_w)
         # layout B (d-window-major) for the n_dk count kernel
