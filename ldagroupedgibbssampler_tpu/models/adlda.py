@@ -44,14 +44,14 @@ class ADLDA(TpuLDASampler):
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
         num_types = self.corpus.num_types
         # Collapsed word term against sweep-stale global counts:
-        # log(beta + N_kw) - log(V beta + n_k), precomputed [V, K].
-        word_logits_t = (
-            jnp.log(state.beta + state.nkw.T.astype(jnp.float32) + _EPS)
-            - jnp.log(state.beta * num_types
-                      + state.nk.astype(jnp.float32))[None, :])
+        # (beta + N_kw) / (V beta + n_k), precomputed [V, K] (linear space).
+        word_weights_t = (
+            (state.beta + state.nkw.T.astype(jnp.float32))
+            / (state.beta * num_types
+               + state.nk.astype(jnp.float32))[None, :])
         ndk, z = doc_sequential_sweep(
             k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
-            word_logits_t, state.alpha, doc_mask,
+            word_weights_t, state.alpha, doc_mask,
             self_correction=(state.nkw, state.nk, state.beta))
         # The AD-LDA merge: rebuild global counts from all shards' z.
         nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,

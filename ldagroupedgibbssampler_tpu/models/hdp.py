@@ -146,11 +146,9 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(TpuLDASampler):
         num_types = self.corpus.num_types
         k_z, k_l, k_psi, k_phi, k_next = jax.random.split(state.key, 5)
 
-        word_logits_t = jnp.where(state.phi.T > 0,
-                                  jnp.log(state.phi.T + _EPS), NEG_INF)
         ndk, z = doc_sequential_sweep(
             k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
-            word_logits_t, state.alpha, doc_mask)
+            state.phi.T, state.alpha, doc_mask)
         nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
                                           k_max, num_types)
 

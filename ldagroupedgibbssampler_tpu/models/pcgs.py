@@ -49,18 +49,18 @@ class UncollapsedParallelLDA(TpuLDASampler):
             return rnd.dirichlet(key, conc)
         return rnd.conditional_dirichlet(key, prev_phi, conc, type_mask)
 
-    def _word_logits_t(self, state: LDAState):
-        """[V, K] per-token word term: log phi.T (phi fixed within sweep)."""
-        return jnp.log(state.phi.T + _EPS), None
+    def _word_weights_t(self, state: LDAState):
+        """[V, K] per-token word term: phi.T (phi fixed within sweep)."""
+        return state.phi.T, None
 
     def _step(self, state: LDAState, doc_mask: jax.Array,
               type_mask) -> LDAState:
         cfg = self.config
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
-        word_logits_t, self_corr = self._word_logits_t(state)
+        word_weights_t, self_corr = self._word_weights_t(state)
         ndk, z = doc_sequential_sweep(
             k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
-            word_logits_t, state.alpha, doc_mask,
+            word_weights_t, state.alpha, doc_mask,
             self_correction=self_corr)
         nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
                                           cfg.topics, self.corpus.num_types)

@@ -44,10 +44,9 @@ class PolyaUrnSpaliasLDA(UncollapsedParallelLDA):
                                     _EPS)
         return phi
 
-    def _word_logits_t(self, state: LDAState):
-        # exact zeros in phi -> -inf logits: the masked-support draw.
-        return jnp.where(state.phi.T > 0, jnp.log(state.phi.T + _EPS),
-                         NEG_INF), None
+    def _word_weights_t(self, state: LDAState):
+        # exact zeros in phi give exactly zero probability (linear space).
+        return state.phi.T, None
 
     def get_phi_density(self) -> float:
         """Phi sparsity diagnostic (`log_phi_density`,

@@ -123,6 +123,6 @@ class SpaliasUncollapsedParallelWithPriors(UncollapsedParallelLDA):
                                     _EPS)
         return phi
 
-    def _word_logits_t(self, state: LDAState):
-        return jnp.where(state.phi.T > 0, jnp.log(state.phi.T + _EPS),
-                         NEG_INF), None
+    def _word_weights_t(self, state: LDAState):
+        # zeroed (prior-masked) phi coordinates get exactly zero probability
+        return state.phi.T, None

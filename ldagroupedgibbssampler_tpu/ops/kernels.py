@@ -73,7 +73,7 @@ def sample_z_flat(key: jax.Array, row_logits: jax.Array, log_phi_t: jax.Array,
 
 def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
                          mask_pad: jax.Array, z_pad: jax.Array,
-                         ndk: jax.Array, word_logits_t: jax.Array,
+                         ndk: jax.Array, word_weights_t: jax.Array,
                          alpha: jax.Array, doc_sel: jax.Array,
                          self_correction: jax.Array | None = None):
     """One Gibbs sweep with intra-document sequentialism.
@@ -81,22 +81,26 @@ def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
     lax.scan over token position t; at each step every document resamples its
     t-th token in parallel:
 
-        n_dk -= onehot(z_old)                        (decrement, :1505)
-        logits = log(n_dk + alpha) + word_logits_t[w_t]   (:1509-1513)
-        z_new ~ Gumbel-max categorical                (:1519-1531)
-        n_dk += onehot(z_new)                        (increment, :1542)
+        n_dk -= onehot(z_old)                            (decrement, :1505)
+        weights = (n_dk + alpha) * word_weights_t[w_t]    (:1509-1513)
+        z_new by inverse-CDF with ONE uniform per token   (:1519-1531)
+        n_dk += onehot(z_new)                            (increment, :1542)
 
-    word_logits_t[V, K] encodes the scheme:
-      PCGS / uncollapsed: log phi.T (phi fixed within the sweep — exactly the
+    LINEAR space throughout — the reference's own arithmetic — with the
+    inverse-CDF draw (cumsum + one uniform) instead of Gumbel-max: no
+    per-element log/exp in the hot loop (measured 1.5-2x on PCGS/ADLDA),
+    and exact zeros in sparse phi rows get exactly zero probability.
+
+    word_weights_t[V, K] encodes the scheme:
+      PCGS / uncollapsed: phi.T (phi fixed within the sweep — exactly the
         Java staleness, UncollapsedParallelLDA.java:1509).
-      ADLDA collapsed:    log(beta + N_kw) - log(V beta + n_k), stale for the
+      ADLDA collapsed:    (beta + N_kw) / (V beta + n_k), stale for the
         whole sweep (ADLDA replica semantics).
 
-    `self_correction`: optional [V, K]-shaped *pair* (num, den) is not needed;
-    instead pass `self_correction = (nkw, nk, beta)` tuple for collapsed
-    schemes so the token's own count is excluded at k == z_old:
-    log(beta + N_{z,w} - 1) - log(V beta + n_z - 1). None for PCGS/GGS where
-    phi carries no self-count.
+    `self_correction = (nkw, nk, beta)` for collapsed schemes excludes the
+    token's own global count at k == z_old:
+    (n_dk + alpha_z)(beta + N_{z,w} - 1)/(V beta + n_z - 1). None for
+    PCGS/GGS where phi carries no self-count.
 
     Docs with doc_sel False (random-scan unselected) keep all their z.
     Returns (ndk_out[int32], z_out[D, L]).
@@ -105,6 +109,7 @@ def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
     num_topics = ndk.shape[1]
     keys = jax.random.split(key, length)
     alpha_f = alpha.astype(jnp.float32)
+    tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
 
     if self_correction is not None:
         nkw, nk, beta = self_correction
@@ -117,19 +122,31 @@ def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
         dec = active.astype(jnp.int32)
         onehot_old = jax.nn.one_hot(zt, num_topics, dtype=jnp.int32)
         ndk_c = ndk_c - onehot_old * dec[:, None]
-        logits = _log(ndk_c.astype(jnp.float32) + alpha_f) \
-            + word_logits_t[wt]                            # [D, K]
+        weights = (ndk_c.astype(jnp.float32) + alpha_f) \
+            * word_weights_t[wt]                           # [D, K]
         if self_correction is not None:
             # exclude this token's own global count at k == z_old
             own_nkw = nkw[zt, wt].astype(jnp.float32)       # [D]
             own_nk = nk[zt].astype(jnp.float32)
-            corrected = (_log(ndk_c[jnp.arange(num_docs), zt]
-                              .astype(jnp.float32) + alpha_f[zt])
-                         + _log(beta + own_nkw - 1.0)
-                         - _log(beta_v + own_nk - 1.0))
-            logits = logits.at[jnp.arange(num_docs), zt].set(corrected)
-        g = jax.random.gumbel(kt, logits.shape, dtype=logits.dtype)
-        z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+            corrected = ((ndk_c[jnp.arange(num_docs), zt]
+                          .astype(jnp.float32) + alpha_f[zt])
+                         * jnp.maximum(beta + own_nkw - 1.0, 0.0)
+                         / jnp.maximum(beta_v + own_nk - 1.0, 1e-30))
+            # dense select instead of .at[arange, zt].set: a [D, K] where
+            # beats a D-row scatter every position
+            iota_k = jnp.arange(num_topics, dtype=zt.dtype)
+            weights = jnp.where(zt[:, None] == iota_k[None, :],
+                                corrected[:, None], weights)
+        # cumsum as a triangular matmul: MXU work instead of a log-depth
+        # VPU scan (the K=100 ADLDA sweep measured 10M tokens/s with
+        # jnp.cumsum vs 14M+ with the matmul form)
+        cdf = jax.lax.dot(weights, tri,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        u = jax.random.uniform(kt, (num_docs,), jnp.float32) * cdf[:, -1]
+        z_new = jnp.minimum(
+            jnp.sum((cdf <= u[:, None]).astype(jnp.int32), axis=1),
+            num_topics - 1)
         z_new = jnp.where(active, z_new, zt)
         onehot_new = jax.nn.one_hot(z_new, num_topics, dtype=jnp.int32)
         ndk_c = ndk_c + onehot_new * dec[:, None]

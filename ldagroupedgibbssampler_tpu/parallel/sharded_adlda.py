@@ -111,9 +111,9 @@ class ShardedADLDA(TpuLDASampler):
 
         key, k_phi, k_next = jax.random.split(state.key, 3)
         # stale collapsed word term, replicated (the per-thread replica)
-        word_logits_t = (
-            jnp.log(state.beta + state.nkw.T.astype(jnp.float32) + _EPS)
-            - jnp.log(state.beta * V + state.nk.astype(jnp.float32))[None, :])
+        word_weights_t = (
+            (state.beta + state.nkw.T.astype(jnp.float32))
+            / (state.beta * V + state.nk.astype(jnp.float32))[None, :])
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(), P(axis, None, None), P(axis, None, None),
@@ -137,7 +137,7 @@ class ShardedADLDA(TpuLDASampler):
             return z[None], ndk_new[None], nkw_global
 
         z, ndk, nkw = shard_body(key, self.w_pad, self.mask_pad, state.z,
-                                 state.ndk, word_logits_t, state.alpha, dm,
+                                 state.ndk, word_weights_t, state.alpha, dm,
                                  state.nkw, state.nk, state.beta)
         phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + state.beta)
         return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
