@@ -2,10 +2,11 @@
 
 These are the TPU replacements for the reference's per-token thread-pool
 loops (SURVEY.md §3.2 hot loop, UncollapsedParallelLDA.java:1466-1545). Each
-sweep is a single jit-able function: gathers of log(phi)/log(theta) rows,
-K-wide logits, Gumbel-max categorical draws, all vectorised over a block of
-tokens (flat layout) or over all documents at one token position (doc-major
-layout).
+sweep is a single jit-able function: gathers of phi/theta rows, K-wide
+linear-space weights, inverse-CDF categorical draws (one uniform per token,
+cumsum as a triangular MXU matmul), vectorised over all documents at one
+token position (doc-major layout). The token-parallel GGS sweep lives in
+models/ggs.py (fused Pallas kernel + segmented XLA fallback).
 
 A Pallas kernel for the sweep was evaluated and rejected on this target:
 the z-draw needs a per-token row gather from the theta/phi tables, and
@@ -17,8 +18,6 @@ single token ordering provides. The fused XLA sweep (see PERF.md for
 measurements) is the fastest formulation available.
 
 Sweep semantics per scheme:
-  - `sample_z_flat`     — token draws independent given (row_logits, phi):
-      GGS (LDAGroupedGibbsSampler.java:96-113) with row_logits = log theta_d.
   - `doc_sequential_sweep` — per-document sequential dependency on n_dk,
       vectorised across documents: PCGS (UncollapsedParallelLDA.java:
       1509-1531 keeps phi fixed within a sweep; n_dk updates immediately),
@@ -40,35 +39,6 @@ _LOG_EPS = 1e-30
 
 def _log(x):
     return jnp.log(x + _LOG_EPS)
-
-
-def sample_z_flat(key: jax.Array, row_logits: jax.Array, log_phi_t: jax.Array,
-                  w: jax.Array, doc_ids: jax.Array, sel: jax.Array,
-                  z_old: jax.Array, block: int) -> jax.Array:
-    """Resample all selected tokens independently.
-
-    P(z_i = k) ∝ exp(row_logits[doc_i, k] + log_phi_t[w_i, k]).
-
-    row_logits[D, K]: log theta (GGS). log_phi_t[V, K] = log(phi).T so the
-    per-token access is a row gather. Tokens are processed in `block`-sized
-    chunks via lax.map so peak memory is O(block × K) instead of O(N × K).
-    """
-    n = w.shape[0]
-    assert n % block == 0, (n, block)
-    nb = n // block
-    keys = jax.random.split(key, nb)
-
-    def one_block(args):
-        k, wi, di, si, zi = args
-        logits = row_logits[di] + log_phi_t[wi]          # [B, K]
-        g = jax.random.gumbel(k, logits.shape, dtype=logits.dtype)
-        z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
-        return jnp.where(si, z_new, zi)
-
-    blocks = jax.lax.map(one_block, (
-        keys, w.reshape(nb, block), doc_ids.reshape(nb, block),
-        sel.reshape(nb, block), z_old.reshape(nb, block)))
-    return blocks.reshape(-1)
 
 
 def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,

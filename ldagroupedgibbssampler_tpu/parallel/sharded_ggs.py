@@ -177,9 +177,12 @@ class ShardedGGS(TpuLDASampler):
             # (1) theta: local Gamma draws. [1, Dp, K]
             theta_new = rnd.dirichlet(
                 k_theta, ndk[0].astype(jnp.float32) + alpha)[None]
-            # (2) fused token sweep on the local shard.
-            log_theta = jnp.log(theta_new[0] + _EPS)
-            log_phi_t = jnp.log(phi.T + _EPS)
+            # (2) fused token sweep on the local shard: linear-space
+            # inverse-CDF (one uniform per token, cumsum as a triangular
+            # MXU matmul) — same draw as models/ggs.py's XLA fallback.
+            theta_l = theta_new[0]
+            phi_t = phi.T
+            tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
             sel = mask[0] & dm_local[0][doc_local[0]]
             n_local = w.shape[1]
             nb = n_local // block
@@ -187,9 +190,15 @@ class ShardedGGS(TpuLDASampler):
 
             def one_block(args):
                 kb, wi, di, si, zi = args
-                logits = log_theta[di] + log_phi_t[wi]
-                g = jax.random.gumbel(kb, logits.shape, dtype=logits.dtype)
-                z_new = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+                probs = theta_l[di] * phi_t[wi]
+                cdf = jax.lax.dot(probs, tri,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+                u = (jax.random.uniform(kb, (probs.shape[0], 1),
+                                        jnp.float32) * cdf[:, -1:])
+                z_new = jnp.minimum(
+                    jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
+                    num_topics - 1)
                 return jnp.where(si, z_new, zi)
 
             z = jax.lax.map(one_block, (
