@@ -59,6 +59,11 @@ from ldagroupedgibbssampler_tpu.ops.pallas_zdraw import (
 # (double-buffered DMA) instead of keeping the whole table VMEM-resident.
 _FUSED_ZDRAW_VMEM_BUDGET = 10 * 2 ** 20
 
+# Byte budget for the XLA-fallback z-draw's [L, K] gather/score/cdf temps;
+# the token axis is segmented (lax.map) to stay under it. Segmentation is
+# draw-invariant: the uniforms are drawn over the global token axis first.
+_XLA_ZDRAW_TEMP_BYTES = 3 << 29
+
 _EPS = 1e-30
 
 
@@ -211,7 +216,8 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
             # Segment the token axis so the [L, K+] gather/score/cdf temps
             # stay ~<=1.5 GB regardless of K: monolithic at 20NG K=1000 the
             # three temps are 11 GB each and OOM a 16 GB chip.
-            nseg = max(1, -(-npad * num_topics * 12 // (3 << 29)))
+            nseg = max(1, -(-npad * num_topics * 12
+                            // _XLA_ZDRAW_TEMP_BYTES))
             seg_len = (-(-npad // nseg) + 2047) // 2048 * 2048
             nseg = -(-npad // seg_len)
             pad_n = nseg * seg_len - npad

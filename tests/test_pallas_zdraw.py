@@ -73,3 +73,24 @@ def test_zdraw_kernel_xla_forced():
                   seed=3, exec_time=-1, zdraw_kernel="xla"))
     model.add_instances(corpus)
     assert not model._use_fused_zdraw()
+
+
+def test_xla_fallback_segmentation_invariant(monkeypatch):
+    """The segmented fallback (large-K memory bound) draws the SAME z as the
+    monolithic formulation: uniforms are drawn over the global token axis
+    before segmentation."""
+    from ldagroupedgibbssampler_tpu.models import ggs as ggs_mod
+
+    def run():
+        corpus = _rand_corpus(7, docs=60, vocab=500)
+        model = LDAGroupedGibbsSampler(
+            LDAConfig(scheme="ggs", topics=6, alpha=0.5, beta=0.1, seed=4,
+                      exec_time=-1, token_block=512, zdraw_kernel="xla"))
+        model.add_instances(corpus)
+        model.sample(3)
+        return model.get_z_indicators()
+
+    z1 = run()
+    monkeypatch.setattr(ggs_mod, "_XLA_ZDRAW_TEMP_BYTES", 4096)  # force many
+    z2 = run()
+    np.testing.assert_array_equal(z1, z2)
