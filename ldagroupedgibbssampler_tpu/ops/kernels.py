@@ -85,9 +85,21 @@ def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
         nkw, nk, beta = self_correction
         num_types = nkw.shape[1]
         beta_v = beta * num_types
+        # the correction indexes the PRE-SWEEP z (z_pad) against the stale
+        # global counts — both loop constants, so the [D, L] gathers hoist
+        # out of the scan as one batched gather each
+        own_ratio_all = (
+            jnp.maximum(beta + nkw[z_pad, w_pad].astype(jnp.float32) - 1.0,
+                        0.0)
+            / jnp.maximum(beta_v + nk[z_pad].astype(jnp.float32) - 1.0,
+                          1e-30))                           # [D, L]
+        alpha_z_all = alpha_f[z_pad]                        # [D, L]
 
     def step(ndk_c, xs):
-        kt, wt, mt, zt = xs
+        if self_correction is not None:
+            kt, wt, mt, zt, own_ratio, alpha_z = xs
+        else:
+            kt, wt, mt, zt = xs
         active = mt & doc_sel
         dec = active.astype(jnp.int32)
         onehot_old = jax.nn.one_hot(zt, num_topics, dtype=jnp.int32)
@@ -95,18 +107,12 @@ def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
         weights = (ndk_c.astype(jnp.float32) + alpha_f) \
             * word_weights_t[wt]                           # [D, K]
         if self_correction is not None:
-            # exclude this token's own global count at k == z_old
-            own_nkw = nkw[zt, wt].astype(jnp.float32)       # [D]
-            own_nk = nk[zt].astype(jnp.float32)
-            corrected = ((ndk_c[jnp.arange(num_docs), zt]
-                          .astype(jnp.float32) + alpha_f[zt])
-                         * jnp.maximum(beta + own_nkw - 1.0, 0.0)
-                         / jnp.maximum(beta_v + own_nk - 1.0, 1e-30))
-            # dense select instead of .at[arange, zt].set: a [D, K] where
-            # beats a D-row scatter every position
-            iota_k = jnp.arange(num_topics, dtype=zt.dtype)
-            weights = jnp.where(zt[:, None] == iota_k[None, :],
-                                corrected[:, None], weights)
+            # exclude this token's own global count at k == z_old; the
+            # loop-carried ndk_c row value comes from a one-hot reduce
+            # (dense [D, K] math beats a [D] gather + scatter per position)
+            ndk_at_z = jnp.sum(ndk_c * onehot_old, axis=1)
+            corrected = (ndk_at_z.astype(jnp.float32) + alpha_z) * own_ratio
+            weights = jnp.where(onehot_old > 0, corrected[:, None], weights)
         # cumsum as a triangular matmul: MXU work instead of a log-depth
         # VPU scan (the K=100 ADLDA sweep measured 10M tokens/s with
         # jnp.cumsum vs 14M+ with the matmul form)
@@ -122,8 +128,12 @@ def doc_sequential_sweep(key: jax.Array, w_pad: jax.Array,
         ndk_c = ndk_c + onehot_new * dec[:, None]
         return ndk_c, z_new
 
-    ndk_out, z_cols = jax.lax.scan(
-        step, ndk, (keys, w_pad.T, mask_pad.T, z_pad.T))
+    if self_correction is not None:
+        xs = (keys, w_pad.T, mask_pad.T, z_pad.T, own_ratio_all.T,
+              alpha_z_all.T)
+    else:
+        xs = (keys, w_pad.T, mask_pad.T, z_pad.T)
+    ndk_out, z_cols = jax.lax.scan(step, ndk, xs)
     return ndk_out, z_cols.T
 
 
