@@ -235,7 +235,6 @@ class Corpus:
         every window gets at least one (possibly empty) block, so the
         kernel's per-window zero-then-accumulate output mapping covers the
         whole [V, K] table."""
-        n = self.num_tokens
         nwin = max(1, (self.num_types + vspan - 1) // vspan)
         order = np.argsort(self.tokens, kind="stable")
         w_s = self.tokens[order]

@@ -37,7 +37,7 @@ def _fold_in_jit(key, w, doc_ids, mask, log_phi_vk, alpha, num_docs,
     token_log_phi = log_phi_vk[w]                     # (N, K) gather once
 
     def body(carry, it):
-        key, z_prev, ndk, theta_sum, n_acc = carry
+        key, _z_prev, ndk, theta_sum, n_acc = carry
         key, k_theta, k_z = jax.random.split(key, 3)
         theta = rnd.dirichlet(k_theta, ndk.astype(jnp.float32) + alpha)
         log_scores = jnp.log(theta)[doc_ids] + token_log_phi

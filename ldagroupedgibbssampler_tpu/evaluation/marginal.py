@@ -29,7 +29,7 @@ _EPS = 1e-30
 def left_to_right_from_counts(key, w_pad, mask_pad, nkw, nk, alpha,
                               beta: float, num_particles: int = 100):
     """Core estimator on padded test docs. Returns total held-out LL."""
-    num_topics, num_types = nkw.shape
+    num_types = nkw.shape[1]
     word_prob = ((beta + nkw.astype(jnp.float32))
                  / (beta * num_types + nk.astype(jnp.float32))[:, None])
     return left_to_right_from_word_prob(key, w_pad, mask_pad, word_prob,

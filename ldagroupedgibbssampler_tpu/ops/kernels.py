@@ -150,7 +150,7 @@ def cgs_serial_sweep(key: jax.Array, w: jax.Array, doc_ids: jax.Array,
 
     Returns (ndk, nkw, nk, z) after the sweep.
     """
-    num_topics, num_types = nkw.shape
+    num_types = nkw.shape[1]
     beta_v = beta * num_types
     n = w.shape[0]
     keys = jax.random.split(key, n)

@@ -139,7 +139,7 @@ def conditional_dirichlet(key: jax.Array, previous, concentration, mask):
     previous = jnp.asarray(previous, jnp.float32)
     conc = jnp.asarray(concentration, jnp.float32)
     mask = jnp.asarray(mask, bool)
-    k_sub, k_beta, k_mass = jax.random.split(key, 3)
+    k_sub, k_beta = jax.random.split(key)
 
     conc_sub_sum = jnp.sum(jnp.where(mask, conc, 0.0), axis=-1, keepdims=True)
     conc_keep_sum = jnp.sum(jnp.where(mask, 0.0, conc), axis=-1, keepdims=True)

@@ -208,7 +208,7 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
               type_mask) -> LDAState:
         cfg = self.config
         K, vspan, dspan = cfg.topics, cfg.vocab_span, cfg.doc_span
-        block, chunk, bpc = cfg.token_block, self._chunk, self._bpc
+        block, chunk = cfg.token_block, self._chunk
         nba, nwin_d = self._nba, self._nwin_d
         rows = self.nwin_max * vspan
         vpadg = self._vpad_global
