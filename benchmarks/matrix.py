@@ -216,11 +216,16 @@ def main(argv=None):
             "tokens_per_sec": round(_throughput(m5, corpus,
                                                 max(3, iters // 2)), 1)}
 
-    # 7/8. other sampler families at 20NG scale, K=100 (single chip)
+    # 7/8/9. other sampler families at 20NG scale (single chip);
+    # lightpclda at K=1000 documents the O(1)-per-token MH scaling (1.6x
+    # cost for 10x K) even though dense GGS still wins in absolute terms
     for key, scheme, kk in (("7_spalias_20ng_k100", "spalias", 100),
-                            ("8_adlda_20ng_k100", "adlda", 100)):
+                            ("8_adlda_20ng_k100", "adlda", 100),
+                            ("9_lightpclda_20ng_k1000", "lightpclda",
+                             1000)):
         if want(key):
-            cfgx = LDAConfig(scheme=scheme, topics=kk, alpha=0.5, beta=0.01,
+            cfgx = LDAConfig(scheme=scheme, topics=kk,
+                             alpha=0.5 if kk <= 100 else 0.05, beta=0.01,
                              seed=2019, exec_time=-1)
             mx = create_model(cfgx)
             mx.add_instances(corpus)
