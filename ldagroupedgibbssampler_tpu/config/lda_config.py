@@ -125,7 +125,7 @@ class LDAConfig:
     # --- TPU-native knobs (no reference counterpart) ---------------------
     mesh_shape: Sequence[int] = field(default_factory=tuple)  # () = 1 chip
     mesh_axis_names: Sequence[str] = ("data",)
-    token_block: int = 2048        # tokens per sweep block
+    token_block: int = 4096        # tokens per sweep block (4096 measured +17% over 2048 on the fused GGS kernel: fewer grid steps amortise per-block PRNG/zeroing)
     vocab_span: int = 128          # aligned type-window width (GGS blocks)
     doc_span: int = 128            # aligned doc-window width (GGS n_dk path)
     doc_length_multiple: int = 8   # doc-major padding multiple
