@@ -58,7 +58,7 @@ _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
 def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
                   w_ref, d_ref, zo_ref, win_d_ref, th_ref, ph_ref,
-                  z_out, nkw_out, *scratch,
+                  tril_ref, z_out, nkw_out, *scratch,
                   vspan, dspan, kpad, num_topics, chunks, chunk, precise,
                   stream_theta):
     # win_d_ref is a regular SMEM-blocked input ([1, chunks] per block), NOT
@@ -88,10 +88,10 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
-    row_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, kpad), 0)
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, kpad), 1)
     cdf_dtype = jnp.float32 if precise else jnp.bfloat16
-    tril = (row_k >= col_k).astype(cdf_dtype)
+    # tril arrives as an operand: building it in-kernel from two
+    # [kpad, kpad] iotas costs 8 MB of VMEM temps at kpad=1024 (spills)
+    tril = tril_ref[:, :]
 
     bits = pltpu.bitcast(pltpu.prng_random_bits((chunks, chunk)), jnp.uint32)
     u24s = pltpu.bitcast(
@@ -185,6 +185,8 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
     wd3 = jnp.pad(win_d_chunks.reshape(nb, chunks),
                   ((0, 0), (0, wd_rows * 128 - chunks))
                   ).reshape(nb, wd_rows, 128)
+    cdf_dtype = jnp.float32 if precise else jnp.bfloat16
+    tril_op = jnp.tril(jnp.ones((kpad, kpad), cdf_dtype))
     th_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_theta
                else pl.BlockSpec((krows, dpad), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM))
@@ -207,6 +209,8 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
             pl.BlockSpec((krows, vspan),
                          lambda i, seed, ww, fw: (0, ww[i]),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, kpad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, chunks, chunk),
@@ -227,7 +231,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
             jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
         ],
         grid_spec=grid_spec,
-    )(seed, win_w, first_w, w3, d3, z_old, wd3, th, ph)
+    )(seed, win_w, first_w, w3, d3, z_old, wd3, th, ph, tril_op)
     return z, nkw[:, :num_topics].astype(jnp.int32)
 
 
