@@ -113,6 +113,8 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
         else:
             th_win = th_ref[:, pl.ds(win_d * dspan, dspan)]
         ph_win = ph_ref[:, :]                             # [kpad*, vspan]
+        # (Mosaic requires 32-bit matmul accumulators, so the one-hot
+        # selects emit f32 even though the selected values are bf16-exact)
         th = jax.lax.dot(th_win, oh_d,
                          preferred_element_type=jnp.float32)
         ph = jax.lax.dot(ph_win, oh_w,
