@@ -9,8 +9,9 @@ Three checks, mirroring the reference's test styles (SURVEY.md §4):
      against the exact conditionals theta_d * phi_w.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_kernel_checks.py
-Last run (2026-08-18, v5e): onehot/keep/nkw all ok both modes;
-docmask kept-old ok; chi2 = 77.3 with dof 99.
+Last run (2026-08-19, v5e): onehot/keep/nkw ok for all (precise, stream)
+combinations incl. K=1000; docmask kept-old ok; chi2 = 77.3 (dof 99) at
+K=100 and 28.0 (dof ~22, tail-binned) for the K=1000 streamed path.
 """
 import numpy as np
 import jax  # noqa: F401
@@ -107,3 +108,48 @@ for r in range(R):
 exp = p * R
 chi2 = ((counts - exp) ** 2 / np.maximum(exp, 1e-9)).sum()
 print(f"chi2={chi2:.1f} (dof~{K-1}, mean expected {K-1})")
+
+# ---- test 4: large-K streamed path — exactness + chi-square at K=1000 --
+K2 = 1000
+rng2 = np.random.default_rng(3)
+doc_topic2 = (np.arange(D) % K2).astype(np.int32)
+theta2 = np.zeros((D, K2), np.float32)
+theta2[np.arange(D), doc_topic2 % K2] = 1.0
+phi2 = np.full((V, K2), 1.0 / V, np.float32)
+z_old2 = jnp.asarray(rng2.integers(0, K2, (nb, chunks, chunk)).astype(np.int32))
+for stream in (False, True):
+    z, nkw2 = fused_zdraw_nkw(
+        w3, d3, z_old2, jnp.asarray(theta2), jnp.asarray(phi2), seed,
+        win_w, first_w, win_d, nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
+        vspan=512, dspan=512, num_topics=K2, precise=False,
+        stream_theta=stream)
+    z = np.asarray(z)
+    ok = (z[mask] == doc_topic2[doc_ids][mask]).all()
+    keep = (z[~mask] == np.asarray(z_old2)[~mask]).all()
+    total_ok = int(np.asarray(nkw2).sum()) == int(mask.sum())
+    print(f"K=1000 stream={stream}: onehot z ok={ok} keep-old={keep} "
+          f"nkw total ok={total_ok}")
+
+theta_u2 = rng2.dirichlet(np.full(K2, 0.05), D).astype(np.float32)
+phi_u2 = rng2.dirichlet(np.full(V, 0.1), K2).astype(np.float32).T.copy()
+p2 = theta_u2[d0] * phi_u2[w0]
+p2 = p2 / p2.sum()
+R2 = 600
+counts2 = np.zeros(K2, np.int64)
+for r in range(R2):
+    s = jnp.asarray([r * 104729 + 7], jnp.int32)
+    zz, _ = fused_zdraw_nkw(
+        w3, d3, z_old2, jnp.asarray(theta_u2), jnp.asarray(phi_u2), s,
+        win_w, first_w, win_d, nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
+        vspan=512, dspan=512, num_topics=K2, precise=False,
+        stream_theta=True)
+    counts2[int(np.asarray(zz)[tok_b, tok_c, tok_t])] += 1
+# bin tail topics so expected counts stay >= ~2 for the chi-square
+order2 = np.argsort(-p2)
+exp2 = p2[order2] * R2
+obs2 = counts2[order2].astype(np.float64)
+nbig = int(np.searchsorted(-exp2, -2.0))
+obs_b = np.concatenate([obs2[:nbig], [obs2[nbig:].sum()]])
+exp_b = np.concatenate([exp2[:nbig], [exp2[nbig:].sum()]])
+chi2b = ((obs_b - exp_b) ** 2 / np.maximum(exp_b, 1e-9)).sum()
+print(f"K=1000 streamed chi2={chi2b:.1f} (dof~{len(exp_b)-1})")

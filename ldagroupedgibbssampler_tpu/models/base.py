@@ -246,6 +246,65 @@ class TpuLDASampler:
         return self._step_jit
 
     # ------------------------------------------------------------------
+    # iteration fusion (config key scan_chunk)
+    # ------------------------------------------------------------------
+    def _fusable_chunk(self) -> int:
+        """scan_chunk when iteration groups can be fused without changing
+        any observable behaviour, else 1. Conditions: no per-iteration host
+        work (hooks, listeners, paranoid checks, timing, phi-mean
+        accumulation, hyperopt) and no runtime-feedback random scan
+        (delta-N type masks, percentage topic batches)."""
+        cfg = self.config
+        if (cfg.scan_chunk <= 1 or cfg.paranoid or self._iteration_listeners
+                or cfg.measure_timing or cfg.save_phi_means
+                or cfg.hyperparam_optim_interval > 0
+                or cfg.topic_index_building_scheme != "all"
+                or cfg.topic_batch_building_scheme != "even"
+                or float(cfg.percentage_split_size_topic) < 1.0
+                or self._needs_delta()):
+            return 1
+        for h in ("pre_iteration", "post_iteration", "pre_z", "post_z",
+                  "pre_phi", "post_phi"):
+            if getattr(type(self), h) is not getattr(TpuLDASampler, h):
+                return 1
+        return max(1, int(self.config.scan_chunk))
+
+    def _iteration_has_event(self, it: int) -> bool:
+        cfg = self.config
+        if cfg.topic_interval and cfg.topic_interval > 0 \
+                and it % cfg.topic_interval == 0:
+            return True
+        if self.logger is not None and it % 100 == 0:
+            return True          # device-metrics logging cadence
+        return any(self._in_interval(it, w) for w in (
+            cfg.diagnostic_interval, cfg.dn_diagnostic_interval,
+            cfg.print_ndocs_interval, cfg.print_ntopwords_interval))
+
+    def _fusable_span(self, it: int, end_it: int, chunk: int) -> int:
+        """Length of the fused group starting at `it`: exactly `chunk`
+        event-free iterations, else 1 (fixed group size keeps one compiled
+        program instead of one per remainder length)."""
+        if it + chunk - 1 > end_it:
+            return 1
+        if any(self._iteration_has_event(j) for j in range(it, it + chunk)):
+            return 1
+        return chunk
+
+    def _get_fused_steps_jit(self, n: int):
+        fn = getattr(self, "_fused_jits", None)
+        if fn is None:
+            fn = self._fused_jits = {}
+        if n not in fn:
+            def run(state, dms, tmask):
+                def body(st, dm):
+                    return self._step(st, dm, tmask), None
+                return jax.lax.scan(body, state, dms)[0]
+            jitted = jax.jit(self._with_rebound(run), donate_argnums=(1,))
+            fn[n] = lambda state, dms, tmask: jitted(
+                self._device_arrays(), state, dms, tmask)
+        return fn[n]
+
+    # ------------------------------------------------------------------
     # main loop (UncollapsedParallelLDA.sample:552-943)
     # ------------------------------------------------------------------
     def sample(self, iterations: int | None = None):
@@ -264,7 +323,29 @@ class TpuLDASampler:
         self._tracing = False
         trace_dir = (os.path.join(self.logger.run_dir, "timing_data")
                      if cfg.measure_timing and self.logger else None)
-        for it in range(start_iter + 1, start_iter + iterations + 1):
+        fuse = self._fusable_chunk()
+        end_it = start_iter + iterations
+        it = start_iter + 1
+        while it <= end_it:
+            # scan_chunk: fuse event-free full-sweep iterations into one
+            # scanned dispatch (kills per-iteration host dispatch latency —
+            # dominant for sub-10ms steps through the remote TPU tunnel).
+            # Bit-identical to single-stepping: same _step, same masks,
+            # same key threading. Abort/deadline checked per group.
+            n = self._fusable_span(it, end_it, fuse) if fuse > 1 else 1
+            if n >= 2:
+                dms = np.stack([self.doc_batch_builder.doc_mask(j)
+                                for j in range(it, it + n)])
+                tmask = jnp.asarray(self.topic_index_builder.type_mask(
+                    it, None))
+                self.state = self._get_fused_steps_jit(n)(
+                    self.state, jnp.asarray(dms), tmask)
+                it += n
+                if self._abort or os.path.exists("abort"):
+                    break
+                if deadline is not None and time.time() > deadline:
+                    break
+                continue
             t0 = time.perf_counter()
             self.pre_iteration()
             doc_mask = jnp.asarray(self.doc_batch_builder.doc_mask(it))
@@ -325,6 +406,7 @@ class TpuLDASampler:
                 break
             if deadline is not None and time.time() > deadline:
                 break
+            it += 1
         jax.block_until_ready(self.state.z)
         if self._tracing:   # break/abort inside the trace window
             try:

@@ -168,3 +168,43 @@ def test_hdp_k_percentile_statistic(synthetic_corpus):
     hist = model.get_k_percentile_history()
     assert len(hist) == 10
     assert all(0 <= k <= 10 for k in hist)
+
+
+@pytest.mark.parametrize("scheme", ["ggs", "pcgs"])
+def test_scan_chunk_fusion_bit_identical(scheme, synthetic_corpus):
+    """scan_chunk>1 fuses event-free iterations into one scanned dispatch
+    with BIT-IDENTICAL results to single-stepping (same _step, same masks,
+    same key threading)."""
+    def run(chunk):
+        cfg = LDAConfig(scheme=scheme, topics=3, alpha=1.0, beta=0.05,
+                        seed=13, exec_time=-1, token_block=256,
+                        scan_chunk=chunk, topic_interval=-1)
+        m = create_model(cfg)
+        m.add_instances(synthetic_corpus)
+        m.sample(7)   # 7 = 2 fused groups of 3 + 1 single tail at chunk=3
+        return m.get_z_indicators(), np.asarray(m.state.phi)
+
+    z1, phi1 = run(1)
+    z3, phi3 = run(3)
+    np.testing.assert_array_equal(z1, z3)
+    np.testing.assert_allclose(phi1, phi3, rtol=1e-6)
+
+
+def test_scan_chunk_respects_logging_events(tmp_path, synthetic_corpus):
+    """Fusion never swallows a logging iteration: likelihood.txt rows match
+    the unfused run exactly."""
+    from ldagroupedgibbssampler_tpu.utils.logging_utils import RunLogger
+
+    def run(chunk):
+        logger = RunLogger.create_run_suite(str(tmp_path), f"c{chunk}")
+        cfg = LDAConfig(scheme="ggs", topics=3, alpha=1.0, beta=0.05,
+                        seed=13, exec_time=-1, token_block=256,
+                        scan_chunk=chunk, topic_interval=4)
+        m = create_model(cfg, logger=logger)
+        m.add_instances(synthetic_corpus)
+        m.sample(10)
+        import os
+        with open(os.path.join(logger.run_dir, "likelihood.txt")) as f:
+            return f.read()
+
+    assert run(1) == run(4)
