@@ -81,3 +81,29 @@ class TestParanoidMode:
         model.sample(10)   # raises if any invariant fails
         nkw = model.get_topic_type_counts()
         assert nkw.sum() == synthetic_corpus.num_tokens
+
+
+def test_posterior_topic_count_moments_agree(synthetic_corpus):
+    """BASELINE.json quality criterion: posterior topic-count moments match
+    between the CGS oracle and GGS within Monte-Carlo error. Sorted
+    tokens-per-topic are invariant to label switching; their post-burnin
+    means must agree within a few joint standard errors."""
+    def chain_moments(scheme, iters=60, burn=30, seed=11):
+        cfg = LDAConfig(scheme=scheme, topics=3, alpha=0.5, beta=0.01,
+                        seed=seed, exec_time=-1)
+        m = create_model(cfg)
+        m.add_instances(synthetic_corpus)
+        m.sample(burn)
+        samples = []
+        for _ in range(iters - burn):
+            m.sample(1)
+            samples.append(np.sort(np.asarray(m.state.nk)))
+        s = np.asarray(samples, np.float64)
+        return s.mean(axis=0), s.std(axis=0)
+
+    mean_c, std_c = chain_moments("collapsed")
+    mean_g, std_g = chain_moments("ggs")
+    joint = np.sqrt(std_c ** 2 + std_g ** 2) / np.sqrt(30) \
+        + 0.01 * np.abs(mean_c)
+    assert (np.abs(mean_c - mean_g) < 5 * joint + 5).all(), (
+        mean_c, mean_g, joint)
