@@ -174,6 +174,36 @@ def main(argv=None):
             "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
             "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
 
+    # 3e. Held-out LL parity (the BASELINE.json metric's second clause):
+    #     train GGS and the CGS oracle on the same cats train split, score
+    #     the held-out halves with the Wallach left-to-right estimator
+    #     (MarginalProbEstimatorPlain.java:85) from each sampler's counts.
+    if want("3e_heldout_ll_cats"):
+        from ldagroupedgibbssampler_tpu.corpus.perplexity import (
+            build_perplexity_split)
+        from ldagroupedgibbssampler_tpu.evaluation.marginal import (
+            left_to_right_log_likelihood)
+        cats_full = cats if cats is not None else load_dataset(
+            "/root/reference/src/main/resources/datasets/cats.txt",
+            stoplist_path=None, rare_threshold=0)
+        train, _est, evl = build_perplexity_split(cats_full, 0.3, seed=2019)
+        hlls = {}
+        for scheme in ("ggs", "collapsed"):
+            cfge = LDAConfig(scheme=scheme, topics=3, alpha=5.0, beta=7.0,
+                             seed=2019, exec_time=-1)
+            me = create_model(cfge)
+            me.add_instances(train)
+            me.sample(100)
+            hlls[scheme] = left_to_right_log_likelihood(
+                2019, evl, None, me.get_alpha(), num_particles=100,
+                nkw=me._nkw_kv(), nk=me.state.nk, beta=me.get_beta())
+            del me
+        report["results"]["3e_heldout_ll_cats"] = {
+            "ggs_held_out_ll": round(hlls["ggs"], 1),
+            "cgs_held_out_ll": round(hlls["collapsed"], 1),
+            "rel_gap": round(abs(hlls["ggs"] - hlls["collapsed"])
+                             / abs(hlls["collapsed"]), 4)}
+
     # 4 + 3c/3d. Sharded GGS / ADLDA / vocab-sharded GGS over the mesh
     if jax.device_count() >= 2 and (want("3c") or want("4_") or want("3d")):
         from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
