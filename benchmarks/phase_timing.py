@@ -80,7 +80,10 @@ def time_body(name, model, body):
 
     def timed(n):
         run = mk(n)
-        c = run((jax.random.PRNGKey(0), jnp.float32(0)))
+        # use the model's key impl (default rbg) — a threefry carry here
+        # inflates the RNG-heavy phases ~3.5x vs what the model executes
+        c = run((jax.random.key(0, impl=model.config.prng_impl),
+                 jnp.float32(0)))
         _ = float(c[1])
         best = 1e9
         for _ in range(3):
