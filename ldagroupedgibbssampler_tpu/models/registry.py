@@ -66,6 +66,13 @@ _SHARDED_SCHEMES = {
     "sharded_adlda": ("parallel.sharded_adlda", "ShardedADLDA",
                       "ADLDA, replicated stale counts + per-sweep psum "
                       "merge over the device mesh."),
+    "sharded_pcgs": ("parallel.sharded_pcgs", "ShardedPCGS",
+                     "PCGS, documents sharded over the device mesh "
+                     "(exact: docs independent given phi; one N_kw psum "
+                     "per sweep)."),
+    "sharded_uncollapsed": ("parallel.sharded_pcgs", "ShardedUncollapsedLDA",
+                            "uncollapsed-variant PCGS (unsmoothed phi), "
+                            "documents sharded over the device mesh."),
 }
 
 

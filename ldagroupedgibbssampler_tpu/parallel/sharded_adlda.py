@@ -36,6 +36,10 @@ class ShardedADLDA(TpuLDASampler):
     layout = "doc_major_sharded"
     smooth_phi = True
     nkw_layout = "kv"
+    # collapsed=True: the sweep scores the stale collapsed word term with
+    # the own-count self-correction (ADLDA). ShardedPCGS flips this to
+    # score against the explicitly drawn phi (parallel/sharded_pcgs.py).
+    collapsed = True
 
     def __init__(self, config, logger=None, mesh=None):
         super().__init__(config, logger=logger)
@@ -97,6 +101,12 @@ class ShardedADLDA(TpuLDASampler):
                         alpha=alpha, beta=beta, iteration=jnp.int32(0))
 
     # ------------------------------------------------------------------
+    def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
+        conc = nkw.astype(jnp.float32) + beta
+        if type_mask is None:
+            return rnd.dirichlet(key, conc)
+        return rnd.conditional_dirichlet(key, prev_phi, conc, type_mask)
+
     def _step(self, state: LDAState, doc_mask: jax.Array,
               type_mask) -> LDAState:
         cfg = self.config
@@ -110,10 +120,15 @@ class ShardedADLDA(TpuLDASampler):
             dm = dm.at[s, : d1 - d0].set(doc_mask[d0:d1])
 
         key, k_phi, k_next = jax.random.split(state.key, 3)
-        # stale collapsed word term, replicated (the per-thread replica)
-        word_weights_t = (
-            (state.beta + state.nkw.T.astype(jnp.float32))
-            / (state.beta * V + state.nk.astype(jnp.float32))[None, :])
+        if self.collapsed:
+            # stale collapsed word term, replicated (the per-thread replica)
+            word_weights_t = (
+                (state.beta + state.nkw.T.astype(jnp.float32))
+                / (state.beta * V + state.nk.astype(jnp.float32))[None, :])
+        else:
+            # PCGS: phi fixed within the sweep
+            # (UncollapsedParallelLDA.java:1509)
+            word_weights_t = state.phi.T
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(), P(axis, None, None), P(axis, None, None),
@@ -128,7 +143,8 @@ class ShardedADLDA(TpuLDASampler):
             ndk_new, z = doc_sequential_sweep(
                 ks, w[0], mask[0], z_old[0], ndk[0], wl_t, alpha,
                 dm_local[0],
-                self_correction=(nkw_stale, nk_stale, beta_in))
+                self_correction=((nkw_stale, nk_stale, beta_in)
+                                 if self.collapsed else None))
             ones = jnp.where(mask[0], 1, 0)
             nkw_local = jnp.zeros((K, V), jnp.int32).at[
                 z.reshape(-1), w[0].reshape(-1)].add(ones.reshape(-1))
@@ -139,7 +155,9 @@ class ShardedADLDA(TpuLDASampler):
         z, ndk, nkw = shard_body(key, self.w_pad, self.mask_pad, state.z,
                                  state.ndk, word_weights_t, state.alpha, dm,
                                  state.nkw, state.nk, state.beta)
-        phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + state.beta)
+        # replicated phi redraw (shared key, no broadcast); for ADLDA this
+        # is the augmented diagnostic draw, for PCGS it is the chain's phi
+        phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
         return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
                               nk=jnp.sum(nkw, axis=-1), phi=phi,
                               iteration=state.iteration + 1)

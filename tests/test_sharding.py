@@ -214,3 +214,48 @@ def test_vocab_sharded_determinism(mesh8, synthetic_corpus):
         outs.append((m.get_z_indicators(), np.asarray(m.state.phi)))
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-6)
+
+
+def test_sharded_pcgs_runs_conserves_and_agrees(mesh8, synthetic_corpus):
+    """Sharded PCGS: count conservation, planted-topic recovery, and
+    LL agreement with the single-chip PCGS chain (exact decomposition:
+    documents are conditionally independent given phi)."""
+    from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+        model_log_likelihood)
+    from ldagroupedgibbssampler_tpu.models.pcgs import (
+        LDAPartiallyCollapsedGibbsSampler)
+    from ldagroupedgibbssampler_tpu.parallel.sharded_pcgs import ShardedPCGS
+
+    cfg = LDAConfig(scheme="pcgs", topics=3, alpha=1.0, beta=0.01, seed=7,
+                    exec_time=-1)
+    m = ShardedPCGS(cfg, mesh=mesh8)
+    m.add_instances(synthetic_corpus)
+    m.sample(50)
+    nkw = m.get_topic_type_counts()
+    assert nkw.sum() == synthetic_corpus.num_tokens
+    ndk = m.get_document_topic_matrix()
+    assert ndk.sum() == synthetic_corpus.num_tokens
+    np.testing.assert_array_equal(
+        ndk.sum(axis=1), synthetic_corpus.doc_lengths())
+    blocks = nkw.reshape(3, 3, 10).sum(axis=2)
+    purity = blocks.max(axis=1) / np.maximum(blocks.sum(axis=1), 1)
+    assert purity.mean() > 0.7, purity
+
+    single = LDAPartiallyCollapsedGibbsSampler(cfg)
+    single.add_instances(synthetic_corpus)
+    single.sample(50)
+    ll1 = float(model_log_likelihood(single.get_document_topic_matrix(),
+                                     single.get_topic_type_counts(),
+                                     single.state.alpha, 0.01))
+    ll8 = float(model_log_likelihood(ndk, nkw, m.state.alpha, 0.01))
+    assert abs(ll1 - ll8) / abs(ll1) < 0.05, (ll1, ll8)
+
+
+def test_sharded_pcgs_in_registry(mesh8, synthetic_corpus):
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+    cfg = LDAConfig(scheme="sharded_pcgs", topics=3, alpha=1.0, beta=0.01,
+                    seed=7, exec_time=-1, mesh_shape=(8,))
+    m = create_model(cfg)
+    m.add_instances(synthetic_corpus)
+    m.sample(3)
+    assert int(np.asarray(m.state.nkw).sum()) == synthetic_corpus.num_tokens
