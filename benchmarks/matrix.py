@@ -205,7 +205,8 @@ def main(argv=None):
                              / abs(hlls["collapsed"]), 4)}
 
     # 4 + 3c/3d. Sharded GGS / ADLDA / vocab-sharded GGS over the mesh
-    if jax.device_count() >= 2 and (want("3c") or want("4_") or want("3d")):
+    if jax.device_count() >= 2 and (want("3c") or want("4_") or want("3d")
+                                    or want("2c_sharded_pcgs")):
         from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
         from ldagroupedgibbssampler_tpu.parallel.sharded_adlda import (
             ShardedADLDA)
@@ -234,6 +235,14 @@ def main(argv=None):
             report["results"]["3d_vocab_sharded_ggs"] = {
                 "devices": jax.device_count(),
                 "tokens_per_sec": round(_throughput(mv, small, iters), 1)}
+        if want("2c_sharded_pcgs"):
+            from ldagroupedgibbssampler_tpu.parallel.sharded_pcgs import (
+                ShardedPCGS)
+            mp = ShardedPCGS(cfg4.replace(scheme="pcgs"), mesh=mesh)
+            mp.add_instances(small)
+            report["results"]["2c_sharded_pcgs"] = {
+                "devices": jax.device_count(),
+                "tokens_per_sec": round(_throughput(mp, small, iters), 1)}
 
     # 5. GGS at K=1000 (large-K dense path)
     m5 = None
@@ -263,6 +272,20 @@ def main(argv=None):
                 "tokens_per_sec": round(_throughput(mx, corpus,
                                                     max(3, iters // 2)), 1)}
             del mx
+
+    # 10. HDP (Poisson Polya-Urn, full K_max array) at 20NG scale: the
+    #     nonparametric family's throughput + how many topics stay active
+    if want("10_ppu_hdplda_20ng"):
+        cfgh = LDAConfig(scheme="ppu_hdplda", topics=100, alpha=0.5,
+                         beta=0.01, seed=2019, exec_time=-1)
+        mh = create_model(cfgh)
+        mh.add_instances(corpus)
+        tps = round(_throughput(mh, corpus, max(3, iters // 2)), 1)
+        mh.sample(20)
+        active = int(np.sum(np.asarray(mh.state.nk) > 0))
+        report["results"]["10_ppu_hdplda_20ng"] = {
+            "tokens_per_sec": tps, "active_topics_after_20": active}
+        del mh
 
     # 6. NYTimes-scale GGS (D=300k, V=102,660, N≈100M — the UCI stats the
     #    reference quotes in datasets/README.txt): production-scale run on
