@@ -89,9 +89,16 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
     cdf_dtype = jnp.float32 if precise else jnp.bfloat16
-    # tril arrives as an operand: building it in-kernel from two
-    # [kpad, kpad] iotas costs 8 MB of VMEM temps at kpad=1024 (spills)
+    # tril arrives as a fixed [128, 128] operand (building it in-kernel
+    # from iotas costs VMEM temps that spill). The cumulative sum over the
+    # kpad topic rows is TILED: within-tile prefix sums via the tril
+    # matmul — O(K·128·chunk) MXU work instead of O(K²·chunk) for a full
+    # [kpad, kpad] tril (at K=1000 the full-tril cdf matmul was ~73% of
+    # the kernel's FLOPs) — with the exclusive running offset of tile
+    # totals folded into the comparison threshold (row r of tile t
+    # satisfies off_t + cdf_t[r] <= u iff cdf_t[r] <= u - off_t).
     tril = tril_ref[:, :]
+    ntile = kpad // 128
 
     bits = pltpu.bitcast(pltpu.prng_random_bits((chunks, chunk)), jnp.uint32)
     u24s = pltpu.bitcast(
@@ -123,11 +130,20 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
             th = th[:kpad] + th[kpad:]
             ph = ph[:kpad] + ph[kpad:]
         probs = (th * ph).astype(cdf_dtype)               # [kpad, chunk]
-        cdf = jax.lax.dot(tril, probs,
-                          preferred_element_type=jnp.float32)
-        total = cdf[kpad - 1, :]
+        tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
+                             preferred_element_type=jnp.float32)
+                 for t in range(ntile)]
+        offs = [jnp.zeros((chunk,), jnp.float32)]
+        total = tiles[0][127, :]
+        for t in range(1, ntile):
+            offs.append(total)
+            total = total + tiles[t][127, :]
         u = u24s[c].astype(jnp.float32) * jnp.float32(2 ** -24) * total
-        cnt = jnp.sum((cdf <= u[None, :]).astype(jnp.int32), axis=0)
+        cnt = jnp.zeros((chunk,), jnp.int32)
+        for t in range(ntile):
+            cnt = cnt + jnp.sum(
+                (tiles[t] <= (u - offs[t])[None, :]).astype(jnp.int32),
+                axis=0)
         znew = jnp.minimum(cnt, num_topics - 1)
         zout = jnp.where(total > 0, znew, zold)
         z_out[0, c, :] = zout
@@ -188,7 +204,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                   ((0, 0), (0, wd_rows * 128 - chunks))
                   ).reshape(nb, wd_rows, 128)
     cdf_dtype = jnp.float32 if precise else jnp.bfloat16
-    tril_op = jnp.tril(jnp.ones((kpad, kpad), cdf_dtype))
+    tril_op = jnp.tril(jnp.ones((128, 128), cdf_dtype))
     th_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_theta
                else pl.BlockSpec((krows, dpad), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM))
@@ -211,7 +227,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
             pl.BlockSpec((krows, vspan),
                          lambda i, seed, ww, fw: (0, ww[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kpad, kpad), lambda i, *_: (0, 0),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
