@@ -1,0 +1,140 @@
+"""On-chip validation of the fused PCGS sweep kernel (run on real TPU).
+
+Complements tests/test_pallas_pcgs.py (which runs the same kernel under the
+pltpu interpreter with injected uniforms): here the REAL in-kernel PRNG and
+Mosaic lowering are exercised. Checks (SURVEY.md §4 styles 1+3):
+  1. count semantics under the in-kernel PRNG: returned N_kw and the n_dk
+     table must equal histograms of the returned z; unselected docs and
+     pads keep z; PRNG must be non-degenerate (draws spread over topics);
+  2. deterministic one-hot phi: every token must land on its word's
+     planted topic regardless of the uniforms;
+  3. chi-square of single-token-doc draws against the exact conditional
+     (n_dk + alpha_k) * phi[k][w] (UncollapsedParallelLDA.java:1509-1513);
+  4. end-to-end: the pcgs scheme on a synthetic corpus uses the fused path
+     (gate on), conserves counts each iteration, and its model LL matches
+     the XLA doc-sequential path's trajectory within MC noise.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/tpu_pcgs_checks.py
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
+from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+from ldagroupedgibbssampler_tpu.models.registry import create_model
+from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+    FLAG_ROWS, fused_pcgs_sweep)
+
+assert jax.default_backend() == "tpu", jax.devices()
+rng = np.random.default_rng(0)
+
+
+def run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed):
+    b = c.cell_blocks_seq(block=2048, vspan=128, dspan=128, chunk=128)
+    nb = b.w_local.shape[0]
+    chunks = b.w_local.shape[1] // b.chunk
+    sh3 = (nb, chunks, b.chunk)
+    fi3 = b.flat_index.reshape(sh3)
+    z_old = np.zeros(sh3, np.int32)
+    z_old[fi3 >= 0] = z_flat[fi3[fi3 >= 0]]
+    ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ndk, (c.token_doc_ids(), z_flat), 1)
+    kpad = max(128, -(-K // 128) * 128)
+    table = np.zeros((kpad + FLAG_ROWS, b.nwin_d * 128), np.float32)
+    table[:K, :c.num_docs] = (ndk + alpha).T
+    table[kpad, :c.num_docs] = doc_mask
+    z, nkw, table_out = fused_pcgs_sweep(
+        jnp.asarray(b.w_local.reshape(sh3)),
+        jnp.asarray(b.d_local_a.reshape(sh3)),
+        jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(phi),
+        jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w),
+        jnp.asarray(b.first_w), jnp.asarray(b.win_d_chunks),
+        nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
+        num_topics=K)
+    z_out = np.zeros(c.num_tokens, np.int32)
+    z_out[fi3[fi3 >= 0]] = np.asarray(z)[fi3 >= 0]
+    return z_out, np.asarray(nkw), np.asarray(table_out)
+
+
+# ---- 1. count semantics + PRNG non-degeneracy ---------------------------
+D, V, K = 400, 900, 25
+docs = [list(rng.integers(0, V, rng.integers(5, 150))) for _ in range(D)]
+c = Corpus.from_token_lists(docs, [f"w{i}" for i in range(V)])
+alpha = np.full(K, 0.4, np.float32)
+z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+doc_mask = np.ones(D, np.float32)
+doc_mask[::4] = 0.0
+phi = rng.dirichlet(np.full(V, 0.05), K).T.astype(np.float32)
+z_out, nkw, tout = run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=77)
+dall = c.token_doc_ids()
+unsel = doc_mask[dall] == 0
+assert (z_out[unsel] == z_flat[unsel]).all()
+ref_nkw = np.zeros((V, K), np.int64)
+np.add.at(ref_nkw, (c.tokens, z_out), 1)
+assert np.array_equal(nkw[:V].astype(np.int64), ref_nkw)
+ref_ndk = np.zeros((D, K), np.int64)
+np.add.at(ref_ndk, (dall, z_out), 1)
+assert np.allclose(tout[:K, :D].T - alpha[None, :], ref_ndk, atol=1e-3)
+hist = np.bincount(z_out[~unsel], minlength=K)
+assert (hist > 0).sum() == K and hist.max() < 0.5 * hist.sum(), hist
+# different seed -> different draws (PRNG is live)
+z_out2, _, _ = run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=78)
+assert (z_out2 != z_out).mean() > 0.3
+# same seed -> identical (determinism)
+z_out3, _, _ = run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=77)
+assert np.array_equal(z_out3, z_out)
+print("1. count semantics + PRNG non-degeneracy + determinism: ok")
+
+# ---- 2. one-hot phi forces planted topics --------------------------------
+word_topic = (np.arange(V) % K).astype(np.int32)
+phi_oh = np.zeros((V, K), np.float32)
+phi_oh[np.arange(V), word_topic] = 1.0
+z_p, nkw_p, _ = run_sweep(c, K, z_flat, np.ones(D, np.float32), phi_oh,
+                          alpha, seed=5)
+assert np.array_equal(z_p, word_topic[c.tokens])
+print("2. one-hot phi planted-topic check: ok")
+
+# ---- 3. chi-square vs the exact conditional ------------------------------
+from scipy import stats as sps
+Dd, Kd = 8000, 5
+cd = Corpus.from_token_lists([[0]] * Dd, ["w0", "w1"])
+alphad = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
+phid = np.array([[0.9, 0.5, 0.1, 0.4, 0.2],
+                 [0.1, 0.5, 0.9, 0.6, 0.8]], np.float32)
+p = alphad * phid[0]
+p = p / p.sum()
+zd, _, _ = run_sweep(cd, Kd, np.zeros(Dd, np.int32),
+                     np.ones(Dd, np.float32), phid, alphad, seed=11)
+obs = np.bincount(zd, minlength=Kd).astype(np.float64)
+chi2 = float(((obs - p * Dd) ** 2 / (p * Dd)).sum())
+pval = sps.chi2.sf(chi2, Kd - 1)
+assert pval > 1e-4, (obs, p * Dd, pval)
+print(f"3. chi-square vs exact conditional: ok (chi2={chi2:.1f}, p={pval:.3f})")
+
+# ---- 4. end-to-end pcgs scheme: fused gate + LL trajectory vs XLA --------
+from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+    model_log_likelihood)
+docs_e = [list(rng.integers(0, 2000, rng.integers(20, 200)))
+          for _ in range(800)]
+ce = Corpus.from_token_lists(docs_e, [f"w{i}" for i in range(2000)])
+lls = {}
+for kern in ("fused", "xla"):
+    cfg = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
+                    seed=2019, exec_time=-1, zdraw_kernel=kern)
+    m = create_model(cfg)
+    m.add_instances(ce)
+    assert m._use_fused_sweep() == (kern == "fused")
+    traj = []
+    for _ in range(6):
+        m.sample(5)
+        assert int(np.asarray(m.state.nkw).sum()) == ce.num_tokens
+        assert int(np.asarray(m.state.ndk).sum()) == ce.num_tokens
+        traj.append(float(model_log_likelihood(
+            m.state.ndk, m._nkw_kv(), m.get_alpha(), m.get_beta())))
+    lls[kern] = traj
+    print(f"4. {kern}: LL trajectory {[round(x, 0) for x in traj]}")
+gap = abs(lls["fused"][-1] - lls["xla"][-1]) / abs(lls["xla"][-1])
+assert gap < 0.01, (lls, gap)
+print(f"4. end-to-end fused vs XLA final-LL gap: {gap:.4%} — ok")
+print("ALL PCGS ON-CHIP CHECKS PASSED")

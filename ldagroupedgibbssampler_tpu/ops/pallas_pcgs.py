@@ -1,0 +1,244 @@
+"""Fused PCGS sweep kernel (Pallas TPU): gather-free partially collapsed
+Gibbs with in-kernel n_dk updates.
+
+The TPU replacement for the doc-sequential XLA sweep
+(ops/kernels.py::doc_sequential_sweep) for the PCGS conditional
+(n_dk + alpha_k) * phi[k][w] (UncollapsedParallelLDA.java:1509-1513, phi
+fixed within the sweep). The XLA sweep is gather-bound: the per-position
+phi-row gather is ~90% of its time (13.1 ms with vs 1.3 ms without at 20NG
+K=20). This kernel removes every gather AND the N_kw scatter:
+
+  - tokens live in SEQUENTIAL-SAFE cell blocks
+    (corpus/ragged.py::build_cell_blocks_seq): (w-window, d-window,
+    occurrence-rank) pseudo-cells, so no 128-token chunk contains two
+    tokens of the same document. Chunks execute sequentially (in-kernel
+    loop + sequential TPU grid), so applying each chunk's n_dk updates
+    before the next chunk reads the table reproduces the reference's
+    per-token update semantics under a reordered — still valid — Gibbs
+    schedule.
+  - the n_dk state rides as a VMEM-RESIDENT f32 table [kpad + 8, Dpad]
+    holding n_dk + alpha_k (transposed, exact: counts are integers far
+    below 2^24), input/output-aliased so the updated table IS the sweep's
+    n_dk output. Row kpad carries the per-doc random-scan selection flag
+    (doc_mask); unselected and padding tokens keep z and contribute no
+    update (their delta one-hot is zero because z_out == z_old).
+  - per chunk, everything is MXU matmuls against window-local tables:
+    n_dk rows and the flag via a one-hot doc select of the table window
+    (f32, HIGHEST precision — exact for the integer+alpha values), phi
+    rows via a one-hot type select (bf16 tables, the GGS kernel's fast
+    path), the inverse-CDF via the tiled tril cumsum, the token's own
+    assignment excluded by subtracting onehot(z_old) (the reference's
+    decrement, :1505), and both the n_dk update and the N_kw accumulation
+    as one-hot outer-product matmuls.
+
+N_kw accumulates into w-window-major blocks exactly like
+ops/pallas_zdraw.py (zeroed on first_w), so phi ~ Dir(beta + N_kw) follows
+directly; n_dk never needs a rebuild.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_GOLD = -1640531527  # 2^32 / golden ratio, as int32
+
+FLAG_ROWS = 8  # extra table rows; row kpad = doc-mask flag, rest zero
+
+
+def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
+                 w_ref, d_ref, zo_ref, win_d_ref, ph_ref, tril_ref,
+                 *rest, vspan, dspan, kpad, num_topics, chunks, chunk,
+                 u24_operand):
+    if u24_operand:
+        u24_ref, ndk_in_ref, z_out, nkw_out, ndk_ref = rest
+    else:
+        u24_ref = None
+        ndk_in_ref, z_out, nkw_out, ndk_ref = rest
+    # ndk_in_ref aliases ndk_ref at the HBM level (input_output_aliases),
+    # but input and output have separate resident VMEM blocks: seed the
+    # output block from the input once, then all reads and writes go
+    # through the output ref so updates are chunk-sequential.
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+
+    @pl.when(i == 0)
+    def _():
+        ndk_ref[:] = ndk_in_ref[:]
+
+    @pl.when(first_w_ref[i] == 1)
+    def _():
+        nkw_out[:] = jnp.zeros_like(nkw_out)
+
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
+    tril = tril_ref[:, :]
+    ntile = kpad // 128
+
+    if u24_operand:
+        # injected 24-bit uniforms (interpreter path: the in-kernel PRNG is
+        # TPU-only; pltpu.InterpretParams lowers prng_random_bits to zeros)
+        u24s = u24_ref[0]
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((chunks, chunk)),
+                             jnp.uint32)
+        u24s = pltpu.bitcast(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
+    acc = jnp.zeros((vspan, kpad), jnp.float32)
+    for c in range(chunks):
+        wrow = w_ref[0, c, :]
+        drow = d_ref[0, c, :]
+        zold = zo_ref[0, c, :]
+        win_d = win_d_ref[0, c // 128, c % 128]
+
+        oh_d = (iota_d == drow[None, :]).astype(jnp.float32)
+        oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
+        oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
+
+        # exact one-hot doc select of (n_dk + alpha | flag) rows: f32
+        # HIGHEST keeps the integer counts exact through the MXU passes
+        ndk_win = ndk_ref[:, pl.ds(win_d * dspan, dspan)]
+        nd_ext = jax.lax.dot(ndk_win, oh_d,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        flag = nd_ext[kpad, :]                             # [chunk]
+        nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]    # decrement own z
+        ph = jax.lax.dot(ph_ref[:, :], oh_w,
+                         preferred_element_type=jnp.float32)
+        probs = (nd * ph).astype(jnp.bfloat16)             # [kpad, chunk]
+        tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
+                             preferred_element_type=jnp.float32)
+                 for t in range(ntile)]
+        offs = [jnp.zeros((chunk,), jnp.float32)]
+        total = tiles[0][127, :]
+        for t in range(1, ntile):
+            offs.append(total)
+            total = total + tiles[t][127, :]
+        u = u24s[c].astype(jnp.float32) * jnp.float32(2 ** -24) * total
+        cnt = jnp.zeros((chunk,), jnp.int32)
+        for t in range(ntile):
+            cnt = cnt + jnp.sum(
+                (tiles[t] <= (u - offs[t])[None, :]).astype(jnp.int32),
+                axis=0)
+        znew = jnp.minimum(cnt, num_topics - 1)
+        zout = jnp.where((flag > 0.5) & (total > 0), znew, zold)
+        z_out[0, c, :] = zout
+
+        oh_z = (iota_k == zout[None, :]).astype(jnp.bfloat16)
+        # n_dk table update: one-hot outer product of (new - old); zero for
+        # kept tokens (zout == zold) and padding (oh_d column is zero)
+        delta = (oh_z.astype(jnp.float32) - oh_zold).astype(jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [kpad, dspan]
+        ndk_ref[:kpad, pl.ds(win_d * dspan, dspan)] = (
+            ndk_ref[:kpad, pl.ds(win_d * dspan, dspan)] + upd)
+        acc += jax.lax.dot_general(
+            oh_w, oh_z, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    nkw_out[:] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
+                              "num_topics", "interpret"))
+def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
+                     win_d_chunks, u24=None, *, nwin_w, nwin_d, vspan, dspan,
+                     num_topics, interpret=False):
+    """One PCGS Gibbs sweep: draw z for every token with immediate n_dk
+    updates, accumulate N_kw, and return the updated n_dk table.
+
+    w3 / d3 / z_old: int32 [NB, chunks, chunk] sequential-safe cell blocks
+        (window-local ids; sentinel vspan / dspan on padding slots).
+    ndk_table: f32 [kpad + FLAG_ROWS, Dpad] — (n_dk + alpha_k).T padded;
+        row kpad = doc_mask flag (1.0 selected / 0.0 not). Aliased: the
+        returned table is this buffer updated in place (donate it).
+    phi_vk: f32 [V, K] — fixed for the whole sweep.
+    u24: optional int32 [NB, chunks, chunk] of 24-bit uniforms in
+        [0, 2^24); replaces the in-kernel PRNG (which InterpretParams
+        cannot lower) — the off-TPU test path.
+
+    Returns (z [NB, chunks, chunk], nkw [nwin_w * vspan, K] int32,
+             ndk_table_out [kpad + FLAG_ROWS, Dpad] f32).
+    """
+    nb, chunks, chunk = w3.shape
+    kpad = max(128, ((num_topics + 127) // 128) * 128)
+    vpad = nwin_w * vspan
+    v, k = phi_vk.shape
+    assert ndk_table.shape[0] == kpad + FLAG_ROWS
+    ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T.astype(
+        jnp.bfloat16)
+
+    wd_rows = max(1, -(-chunks // 128))
+    wd3 = jnp.pad(win_d_chunks.reshape(nb, chunks),
+                  ((0, 0), (0, wd_rows * 128 - chunks))
+                  ).reshape(nb, wd_rows, 128)
+    tril_op = jnp.tril(jnp.ones((128, 128), jnp.bfloat16))
+    dpad = ndk_table.shape[1]
+    u24_specs, u24_ops = [], []
+    if u24 is not None:
+        assert u24.shape == (nb, chunks, chunk)
+        u24_specs = [pl.BlockSpec((1, chunks, chunk),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        u24_ops = [u24]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((kpad, vspan),
+                         lambda i, seed, ww, fw: (0, ww[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *u24_specs,
+            pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vspan, kpad),
+                         lambda i, seed, ww, fw: (ww[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    ndk_idx = 9 + len(u24_ops)
+    z, nkw, table = pl.pallas_call(
+        functools.partial(
+            _pcgs_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
+            num_topics=num_topics, chunks=chunks, chunk=chunk,
+            u24_operand=u24 is not None),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((kpad + FLAG_ROWS, dpad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={ndk_idx: 2},  # ndk_table -> out 2
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, win_w, first_w, w3, d3, z_old, wd3, ph, tril_op,
+      *u24_ops, ndk_table)
+    return z, nkw[:, :num_topics].astype(jnp.int32), table
+
+
+def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
+    """VMEM residency of the n_dk table (the fused-PCGS eligibility gate)."""
+    kpad = max(128, ((num_topics + 127) // 128) * 128)
+    nwin_d = max(1, (num_docs + dspan - 1) // dspan)
+    return (kpad + FLAG_ROWS) * nwin_d * dspan * 4

@@ -1,0 +1,193 @@
+"""Fused PCGS sweep kernel: layout contract, interpret-mode semantics,
+draw distribution, gating.
+
+Unlike the GGS kernel (TPU-only Mosaic, validated on-chip), the PCGS sweep
+kernel runs under the pltpu TPU-semantics interpreter, so its count
+bookkeeping and conditional distribution are validated portably here
+(SURVEY.md §4 styles 1 and 3). On-chip validation is in
+benchmarks/tpu_kernel_checks.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
+from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+from ldagroupedgibbssampler_tpu.models.pcgs import (
+    LDAPartiallyCollapsedGibbsSampler)
+from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+    FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_vmem_bytes)
+
+
+def _rand_corpus(seed=0, docs=70, vocab=300, max_len=60):
+    rng = np.random.default_rng(seed)
+    toks = [list(rng.integers(0, vocab, rng.integers(3, max_len)))
+            for _ in range(docs)]
+    return Corpus.from_token_lists(toks, [f"w{i}" for i in range(vocab)])
+
+
+@pytest.mark.parametrize("vspan,dspan,block", [(128, 128, 512),
+                                               (256, 64, 512),
+                                               (128, 128, 1024)])
+def test_seq_layout_invariants(vspan, dspan, block):
+    c = _rand_corpus()
+    b = c.cell_blocks_seq(block=block, vspan=vspan, dspan=dspan, chunk=128)
+    nch = b.w_local.size // b.chunk
+    did = b.doc_ids.reshape(nch, b.chunk)
+    m = b.mask.reshape(nch, b.chunk)
+    # THE invariant the kernel's correctness rests on: no chunk holds two
+    # tokens of the same document
+    for r in range(nch):
+        d = did[r][m[r]].tolist()
+        assert len(d) == len(set(d))
+        if d:
+            # one d-window per chunk (the table-slice contract)
+            assert (did[r][m[r]] // dspan == b.win_d_chunks[r]).all()
+    # every token placed exactly once; ids reconstruct; pads sentineled
+    fi = b.flat_index[b.mask]
+    assert sorted(fi) == list(range(c.num_tokens))
+    wg = b.w_local + b.win_w[:, None] * vspan
+    assert np.array_equal(wg[b.mask], c.tokens[b.flat_index[b.mask]])
+    assert np.all(b.w_local[~b.mask] == vspan)
+    assert np.all(b.d_local_a[~b.mask] == dspan)
+    recon = (b.win_d_chunks.reshape(nch, 1) * dspan
+             + b.d_local_a.reshape(nch, b.chunk))
+    assert np.array_equal(recon[m], did[m])
+    assert np.all(np.diff(b.win_w) >= 0)
+    assert b.first_w.sum() == b.nwin_w
+
+
+def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128):
+    b = c.cell_blocks_seq(block=512, vspan=vspan, dspan=128, chunk=128)
+    nb = b.w_local.shape[0]
+    chunks = b.w_local.shape[1] // b.chunk
+    sh3 = (nb, chunks, b.chunk)
+    fi3 = b.flat_index.reshape(sh3)
+    z_old = np.zeros(sh3, np.int32)
+    z_old[fi3 >= 0] = z_flat[fi3[fi3 >= 0]]
+    ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ndk, (c.token_doc_ids(), z_flat), 1)
+    kpad = max(128, -(-K // 128) * 128)
+    table = np.zeros((kpad + FLAG_ROWS, b.nwin_d * 128), np.float32)
+    table[:K, :c.num_docs] = (ndk + alpha).T
+    table[kpad, :c.num_docs] = doc_mask
+    # injected uniforms: InterpretParams lowers the in-kernel PRNG to
+    # zeros, so the portable path supplies the 24-bit draws as an operand
+    u24 = np.random.default_rng(seed).integers(
+        0, 2 ** 24, sh3, dtype=np.int64).astype(np.int32)
+    z, nkw, table_out = fused_pcgs_sweep(
+        jnp.asarray(b.w_local.reshape(sh3)),
+        jnp.asarray(b.d_local_a.reshape(sh3)),
+        jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(phi),
+        jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w),
+        jnp.asarray(b.first_w), jnp.asarray(b.win_d_chunks),
+        jnp.asarray(u24),
+        nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=vspan, dspan=128,
+        num_topics=K, interpret=jax.default_backend() != "tpu")
+    z_out = np.zeros(c.num_tokens, np.int32)
+    z_out[fi3[fi3 >= 0]] = np.asarray(z)[fi3 >= 0]
+    kept_pads = (np.asarray(z)[fi3 < 0] == z_old[fi3 < 0]).all()
+    return z_out, np.asarray(nkw), np.asarray(table_out), kept_pads
+
+
+def test_fused_sweep_count_semantics():
+    """Count conservation + doc-mask semantics (§4 style 3): the returned
+    N_kw / n_dk table must equal histograms of the returned z; unselected
+    docs and padding keep z; the flag row survives the sweep."""
+    rng = np.random.default_rng(1)
+    c = _rand_corpus(1)
+    K, V = 7, c.num_types
+    alpha = np.full(K, 0.4, np.float32)
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    doc_mask = np.ones(c.num_docs, np.float32)
+    doc_mask[::3] = 0.0
+    phi = rng.dirichlet(np.full(V, 0.1), K).T.astype(np.float32)
+    z_out, nkw, table_out, kept_pads = _run_sweep(
+        c, K, z_flat, doc_mask, phi, alpha)
+    assert kept_pads
+    dall = c.token_doc_ids()
+    unsel = doc_mask[dall] == 0
+    assert (z_out[unsel] == z_flat[unsel]).all()
+    assert (z_out[~unsel] != z_flat[~unsel]).any()
+    ref_nkw = np.zeros((V, K), np.int64)
+    np.add.at(ref_nkw, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref_nkw)
+    ref_ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ref_ndk, (dall, z_out), 1)
+    kpad = 128
+    got = table_out[:K, :c.num_docs].T - alpha[None, :]
+    np.testing.assert_allclose(got, ref_ndk, atol=1e-3)
+    assert np.array_equal(table_out[kpad, :c.num_docs], doc_mask)
+
+
+def test_fused_sweep_draw_distribution():
+    """Chi-square goodness of fit of the in-kernel draw against the exact
+    PCGS conditional (n_dk + alpha_k) * phi[k][w] (§4 style 1,
+    UncollapsedParallelLDA.java:1509-1513). 4000 single-token docs with
+    identical counts give iid draws from a known distribution (single-token
+    docs also make the sweep's sequential update a no-op across tokens)."""
+    from scipy import stats as sps
+    D, K = 4000, 5
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    # old z = 0 for all; after the in-kernel decrement n_d = alpha
+    z_flat = np.zeros(D, np.int32)
+    alpha = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
+    phi = np.array([[0.9, 0.5, 0.1, 0.4, 0.2],
+                    [0.1, 0.5, 0.9, 0.6, 0.8]], np.float32)  # [V=2, K]
+    p = alpha * phi[0]
+    p = p / p.sum()
+    z_out, _, _, _ = _run_sweep(c, K, z_flat,
+                                np.ones(D, np.float32), phi, alpha, seed=9)
+    obs = np.bincount(z_out, minlength=K).astype(np.float64)
+    chi2 = float(((obs - p * D) ** 2 / (p * D)).sum())
+    assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
+
+
+def test_fused_sweep_sequential_updates():
+    """The in-sweep n_dk update is visible to later tokens of the same doc:
+    with phi uniform and alpha tiny, a doc's tokens must pile onto the
+    topic its first-drawn token lands on (the rich-get-richer dynamic only
+    happens if updates apply within the sweep)."""
+    rng = np.random.default_rng(3)
+    D, L, K = 40, 30, 8
+    c = Corpus.from_token_lists(
+        [list(rng.integers(0, 50, L)) for _ in range(D)],
+        [f"w{i}" for i in range(50)])
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    alpha = np.full(K, 1e-4, np.float32)
+    phi = np.full((50, K), 1.0 / 50, np.float32)
+    # zero starting counts: table holds alpha only -> first token of each
+    # doc is ~uniform, later tokens follow the in-sweep counts
+    z0 = np.zeros(c.num_tokens, np.int32)
+    ndk0 = np.zeros((D, K), np.int64)
+    np.add.at(ndk0, (c.token_doc_ids(), z0), 1)
+    # subtract the old-z counts so effective n_dk - onehot(z_old) == 0:
+    # done by passing z_flat=z0 with counts matching z0 (the kernel
+    # decrements each token's own assignment, leaving ~alpha for token 1)
+    z_out, _, _, _ = _run_sweep(c, K, z0, np.ones(D, np.float32), phi,
+                                alpha, seed=17)
+    dall = c.token_doc_ids()
+    # each doc should be nearly single-topic (>= 80% majority) vs the
+    # uniform draw's expected max share of ~1/8 + noise
+    for d in range(D):
+        zs = z_out[dall == d]
+        share = np.bincount(zs, minlength=K).max() / len(zs)
+        assert share >= 0.8, (d, share)
+
+
+def test_fused_gate_off_tpu_and_vmem():
+    c = _rand_corpus(2)
+    m = LDAPartiallyCollapsedGibbsSampler(
+        LDAConfig(scheme="pcgs", topics=5, alpha=0.5, beta=0.1, seed=3,
+                  exec_time=-1, iterations=2))
+    m.add_instances(c)
+    if jax.default_backend() != "tpu":
+        assert not m._use_fused_sweep()
+    m.sample(2)  # XLA doc-sequential fallback end to end
+    assert np.asarray(m.state.nkw).sum() == c.num_tokens
+    # the VMEM gate formula: 1M docs at K=100 exceeds 10 MB
+    assert fused_pcgs_vmem_bytes(1_000_000, 100, 128) > 10 * 2 ** 20
+    assert fused_pcgs_vmem_bytes(10_000, 100, 128) <= 10 * 2 ** 20
