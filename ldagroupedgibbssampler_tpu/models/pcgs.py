@@ -57,6 +57,10 @@ class UncollapsedParallelLDA(TpuLDASampler):
 
     layout = "doc_major"
     smooth_phi = False
+    # Subclasses that override _step with a different sweep (the LightLDA
+    # family) must set this False: the fused machinery also retargets
+    # _prepare_device_data/_init_state/z accessors to the block layout.
+    fused_pcgs_eligible = True
 
     def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
         conc = nkw.astype(jnp.float32) + (beta if self.smooth_phi else 1e-7)
@@ -72,7 +76,8 @@ class UncollapsedParallelLDA(TpuLDASampler):
     # fused Pallas sweep path
     # ------------------------------------------------------------------
     def _use_fused_sweep(self) -> bool:
-        return (self.config.zdraw_kernel != "xla"
+        return (self.fused_pcgs_eligible
+                and self.config.zdraw_kernel != "xla"
                 and jax.default_backend() == "tpu"
                 and self.corpus is not None
                 and fused_pcgs_vmem_bytes(self.corpus.num_docs,
