@@ -137,4 +137,20 @@ for kern in ("fused", "xla"):
 gap = abs(lls["fused"][-1] - lls["xla"][-1]) / abs(lls["xla"][-1])
 assert gap < 0.01, (lls, gap)
 print(f"4. end-to-end fused vs XLA final-LL gap: {gap:.4%} — ok")
+
+# ---- 5. HDP rides the fused sweep: fused vs XLA agreement ----------------
+act = {}
+for kern in ("fused", "xla"):
+    cfg = LDAConfig(scheme="ppu_hdplda", topics=60, alpha=1.0, beta=0.01,
+                    seed=2019, exec_time=-1, hdp_start_topics=10,
+                    zdraw_kernel=kern)
+    m = create_model(cfg)
+    m.add_instances(ce)
+    assert m._use_fused_sweep() == (kern == "fused")
+    m.sample(20)
+    assert int(np.asarray(m.state.nkw).sum()) == ce.num_tokens
+    act[kern] = m.get_active_topic_history()[-1]
+    print(f"5. hdp {kern}: active topics after 20 iters = {act[kern]}")
+assert abs(act["fused"] - act["xla"]) <= max(5, 0.3 * act["xla"]), act
+print("5. HDP fused vs XLA active-topic agreement — ok")
 print("ALL PCGS ON-CHIP CHECKS PASSED")

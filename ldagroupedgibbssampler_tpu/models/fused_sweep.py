@@ -1,0 +1,149 @@
+"""Shared machinery for samplers whose z-step is the PCGS conditional
+(n_dk + alpha_k) * phi[k][w] with immediate n_dk updates
+(UncollapsedParallelLDA.java:1509-1513) — the PCGS/uncollapsed/spalias
+family (models/pcgs.py) and the HDP family (models/hdp.py, where alpha_k is
+the stick weight alpha*psi_k).
+
+On TPU, when the (n_dk + alpha).T table fits the VMEM budget, the sweep
+runs as ONE gather-free Pallas kernel (ops/pallas_pcgs.py) over
+sequential-safe cell blocks (corpus/ragged.py::build_cell_blocks_seq); z
+then lives in the block layout and the accessors here translate. Otherwise
+the XLA doc-sequential sweep (ops/kernels.py) is used by the caller.
+
+Mixed into a TpuLDASampler subclass BEFORE the base in the MRO. The
+concrete class keeps ownership of `_step` / `_init_state`; this mixin
+provides the gate, the block preparation, the sweep core, and the
+layout-aware z accessors. Classes whose `_step` does NOT draw from the
+PCGS conditional (the LightLDA MH family) must set
+`fused_pcgs_eligible = False`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+    FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_vmem_bytes)
+
+# VMEM residency budget for the n_dk table (same gate style as the GGS
+# kernel's theta table)
+_FUSED_PCGS_VMEM_BUDGET = 10 * 2 ** 20
+# the sequential-safe layout requires dspan <= chunk (= 128)
+_SEQ_DSPAN = 128
+
+
+class FusedPCGSSweepMixin:
+    """Fused-sweep gate + block layout + sweep core + z accessors."""
+
+    fused_pcgs_eligible = True
+
+    # -- gate ------------------------------------------------------------
+    def _use_fused_sweep(self) -> bool:
+        return (self.fused_pcgs_eligible
+                and self.config.zdraw_kernel != "xla"
+                and jax.default_backend() == "tpu"
+                and self.corpus is not None
+                and fused_pcgs_vmem_bytes(self.corpus.num_docs,
+                                          self.config.topics, _SEQ_DSPAN)
+                <= _FUSED_PCGS_VMEM_BUDGET)
+
+    # -- device data -------------------------------------------------------
+    def _prepare_device_data(self, corpus):
+        super()._prepare_device_data(corpus)
+        self.corpus = corpus  # the gate needs it before add_instances sets it
+        if self._use_fused_sweep():
+            b = corpus.cell_blocks_seq(block=self.config.token_block,
+                                       vspan=self.config.vocab_span,
+                                       dspan=_SEQ_DSPAN)
+            self._sblocks = b
+            nb = b.w_local.shape[0]
+            chunks = b.w_local.shape[1] // b.chunk
+            self._sshape3 = (nb, chunks, b.chunk)
+            self.swb = jnp.asarray(b.w_local.reshape(self._sshape3))
+            self.sdla = jnp.asarray(b.d_local_a.reshape(self._sshape3))
+            self.swinb = jnp.asarray(b.win_w)
+            self.sfirstb = jnp.asarray(b.first_w)
+            self.swindc = jnp.asarray(b.win_d_chunks)
+
+    def _z_flat_to_blocks(self, z_flat: np.ndarray) -> np.ndarray:
+        fi = self._sblocks.flat_index.reshape(self._sshape3)
+        z = np.zeros(self._sshape3, np.int32)
+        valid = fi >= 0
+        z[valid] = np.asarray(z_flat, np.int32)[fi[valid]]
+        return z
+
+    def _blockify_z_state(self, st):
+        """Convert a doc-major-z state to the block layout (host-side
+        scatter, init/import only). Concrete classes call this at the END
+        of their `_init_state`. Counts are layout-independent."""
+        if not self._use_fused_sweep():
+            return st
+        z_flat = np.asarray(st.z)[np.asarray(self.mask_pad)]
+        return st._replace(z=jnp.asarray(self._z_flat_to_blocks(z_flat)))
+
+    # -- sweep core --------------------------------------------------------
+    def _kpad(self) -> int:
+        return max(128, ((self.config.topics + 127) // 128) * 128)
+
+    def _ndk_table(self, ndk, alpha, doc_mask):
+        """(n_dk + alpha).T padded to [kpad + FLAG_ROWS, Dpad]; row kpad
+        carries the random-scan doc-selection flag."""
+        kpad = self._kpad()
+        dpad = self._sblocks.nwin_d * _SEQ_DSPAN
+        d = self.corpus.num_docs
+        table = jnp.zeros((kpad + FLAG_ROWS, dpad), jnp.float32)
+        table = table.at[: self.config.topics, :d].set(
+            (ndk.astype(jnp.float32) + alpha[None, :]).T)
+        return table.at[kpad, :d].set(doc_mask.astype(jnp.float32))
+
+    def _fused_zsweep(self, k_z, z_blocks, ndk, alpha, phi, doc_mask):
+        """One fused Gibbs sweep. Returns (z_blocks', ndk' int32 [D, K],
+        nkw' int32 [K, V]) — n_dk rides the kernel's resident table, N_kw
+        accumulates in-kernel, so no recount is needed."""
+        cfg = self.config
+        seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
+                                  jnp.int32)
+        table = self._ndk_table(ndk, alpha, doc_mask)
+        b = self._sblocks
+        z, nkw_vk, table_out = fused_pcgs_sweep(
+            self.swb, self.sdla, z_blocks, table, phi, seed,
+            self.swinb, self.sfirstb, self.swindc,
+            nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+            dspan=_SEQ_DSPAN, num_topics=cfg.topics)
+        nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
+        ndk_out = jnp.rint(
+            table_out[: cfg.topics, : self.corpus.num_docs].T
+            - alpha[None, :]).astype(jnp.int32)
+        return z, ndk_out, nkw
+
+    # -- layout-aware accessors (block-layout z when the path is on) -------
+    def get_z_indicators(self) -> np.ndarray:
+        if not self._use_fused_sweep():
+            return super().get_z_indicators()
+        z = np.asarray(self.state.z).reshape(-1)
+        idx = self._sblocks.flat_index.reshape(-1)
+        out = np.zeros(self.corpus.num_tokens, np.int32)
+        valid = idx >= 0
+        out[idx[valid]] = z[valid]
+        return out
+
+    def set_z_indicators(self, z_flat):
+        if not self._use_fused_sweep():
+            return super().set_z_indicators(z_flat)
+        # let the base rebuild counts/phi in the doc-major layout, then
+        # re-express z in the block layout
+        z_flat = np.asarray(z_flat, np.int32)
+        super().set_z_indicators(z_flat)
+        self.state = self.state._replace(
+            z=jnp.asarray(self._z_flat_to_blocks(z_flat)))
+
+    def sample_z_given_phi(self, iterations: int = 100):
+        super().sample_z_given_phi(iterations)
+        if self._use_fused_sweep():
+            # base rebuilds z doc-major; convert to the block layout
+            z_flat = np.asarray(self.state.z)[np.asarray(self.mask_pad)]
+            self.state = self.state._replace(
+                z=jnp.asarray(self._z_flat_to_blocks(z_flat)))
+        return self

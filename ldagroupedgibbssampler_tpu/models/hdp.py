@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldagroupedgibbssampler_tpu.models.base import TpuLDASampler
+from ldagroupedgibbssampler_tpu.models.fused_sweep import FusedPCGSSweepMixin
 from ldagroupedgibbssampler_tpu.ops import counts as count_ops
 from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
@@ -107,8 +108,12 @@ def gem_psi(key, tables, gamma: float):
     return psi / jnp.sum(psi)
 
 
-class PoissonPolyaUrnHDPLDAInfiniteTopics(TpuLDASampler):
-    """Scheme `ppu_hdplda_all_topics` — the canonical TPU HDP."""
+class PoissonPolyaUrnHDPLDAInfiniteTopics(FusedPCGSSweepMixin,
+                                           TpuLDASampler):
+    """Scheme `ppu_hdplda_all_topics` — the canonical TPU HDP. The
+    z-sweep rides the fused PCGS kernel on TPU (the HDP conditional
+    (n_dk + alpha0 psi_k) phi_kw IS the PCGS conditional with the stick
+    weights as the alpha vector); XLA doc-sequential sweep otherwise."""
 
     layout = "doc_major"
     smooth_phi = True
@@ -132,12 +137,13 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(TpuLDASampler):
         nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
                                           k_max, self.corpus.num_types)
         ndk = count_ops.padded_doc_topic_counts(z, self.mask_pad, k_max)
-        return HDPState(key=base.key, z=z, ndk=ndk, nkw=nkw,
-                        nk=count_ops.tokens_per_topic(nkw), phi=base.phi,
-                        theta=None,
-                        alpha=jnp.float32(self.config.alpha) * psi,
-                        beta=base.beta, iteration=jnp.int32(0), psi=psi,
-                        tables=jnp.zeros((k_max,), jnp.float32))
+        st = HDPState(key=base.key, z=z, ndk=ndk, nkw=nkw,
+                      nk=count_ops.tokens_per_topic(nkw), phi=base.phi,
+                      theta=None,
+                      alpha=jnp.float32(self.config.alpha) * psi,
+                      beta=base.beta, iteration=jnp.int32(0), psi=psi,
+                      tables=jnp.zeros((k_max,), jnp.float32))
+        return self._blockify_z_state(st)
 
     # -- iteration -----------------------------------------------------
     def _step(self, state: HDPState, doc_mask, type_mask) -> HDPState:
@@ -146,11 +152,16 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(TpuLDASampler):
         num_types = self.corpus.num_types
         k_z, k_l, k_psi, k_phi, k_next = jax.random.split(state.key, 5)
 
-        ndk, z = doc_sequential_sweep(
-            k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
-            state.phi.T, state.alpha, doc_mask)
-        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
-                                          k_max, num_types)
+        if self._use_fused_sweep():
+            z, ndk, nkw = self._fused_zsweep(k_z, state.z, state.ndk,
+                                             state.alpha, state.phi,
+                                             doc_mask)
+        else:
+            ndk, z = doc_sequential_sweep(
+                k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
+                state.phi.T, state.alpha, doc_mask)
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              k_max, num_types)
 
         # Antoniak table counts and the GEM psi update.
         tables = sample_table_counts(k_l, ndk, state.alpha,

@@ -34,33 +34,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
+from ldagroupedgibbssampler_tpu.models.fused_sweep import FusedPCGSSweepMixin
 from ldagroupedgibbssampler_tpu.ops import counts as count_ops
 from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
-from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
-    FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_vmem_bytes)
 
 _EPS = 1e-30
 
-# VMEM residency budget for the fused sweep's n_dk table (same gate style
-# as the GGS kernel's theta table)
-_FUSED_PCGS_VMEM_BUDGET = 10 * 2 ** 20
-_SEQ_DSPAN = 128  # rank groups must fit one chunk (build_cell_blocks_seq)
 
-
-class UncollapsedParallelLDA(TpuLDASampler):
+class UncollapsedParallelLDA(FusedPCGSSweepMixin, TpuLDASampler):
     """Scheme `uncollapsed`: PCGS engine with the historical unsmoothed
     phi ~ Dir(n_k) draw."""
 
     layout = "doc_major"
     smooth_phi = False
-    # Subclasses that override _step with a different sweep (the LightLDA
-    # family) must set this False: the fused machinery also retargets
-    # _prepare_device_data/_init_state/z accessors to the block layout.
-    fused_pcgs_eligible = True
 
     def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
         conc = nkw.astype(jnp.float32) + (beta if self.smooth_phi else 1e-7)
@@ -72,145 +61,30 @@ class UncollapsedParallelLDA(TpuLDASampler):
         """[V, K] per-token word term: phi.T (phi fixed within sweep)."""
         return state.phi.T, None
 
-    # ------------------------------------------------------------------
-    # fused Pallas sweep path
-    # ------------------------------------------------------------------
-    def _use_fused_sweep(self) -> bool:
-        return (self.fused_pcgs_eligible
-                and self.config.zdraw_kernel != "xla"
-                and jax.default_backend() == "tpu"
-                and self.corpus is not None
-                and fused_pcgs_vmem_bytes(self.corpus.num_docs,
-                                          self.config.topics, _SEQ_DSPAN)
-                <= _FUSED_PCGS_VMEM_BUDGET)
-
-    def _prepare_device_data(self, corpus):
-        super()._prepare_device_data(corpus)
-        self.corpus = corpus  # needed by the gate before add_instances sets it
-        if self._use_fused_sweep():
-            b = corpus.cell_blocks_seq(block=self.config.token_block,
-                                       vspan=self.config.vocab_span,
-                                       dspan=_SEQ_DSPAN)
-            self._sblocks = b
-            nb = b.w_local.shape[0]
-            chunks = b.w_local.shape[1] // b.chunk
-            self._sshape3 = (nb, chunks, b.chunk)
-            self.swb = jnp.asarray(b.w_local.reshape(self._sshape3))
-            self.sdla = jnp.asarray(b.d_local_a.reshape(self._sshape3))
-            self.swinb = jnp.asarray(b.win_w)
-            self.sfirstb = jnp.asarray(b.first_w)
-            self.swindc = jnp.asarray(b.win_d_chunks)
-
     def _init_state(self, key: jax.Array) -> LDAState:
-        st = super()._init_state(key)
-        if not self._use_fused_sweep():
-            return st
-        # convert the doc-major z init to the sequential-safe block layout
-        # (host-side scatter, init only) — counts are layout-independent
-        z_flat = np.zeros(self.corpus.num_tokens, np.int32)
-        mask = np.asarray(self.mask_pad)
-        z_flat[:] = np.asarray(st.z)[mask]
-        return st._replace(z=jnp.asarray(self._z_flat_to_blocks(z_flat)))
-
-    def _z_flat_to_blocks(self, z_flat: np.ndarray) -> np.ndarray:
-        fi = self._sblocks.flat_index.reshape(self._sshape3)
-        z = np.zeros(self._sshape3, np.int32)
-        valid = fi >= 0
-        z[valid] = np.asarray(z_flat, np.int32)[fi[valid]]
-        return z
-
-    def _ndk_table(self, state: LDAState, doc_mask: jax.Array):
-        """(n_dk + alpha).T padded to [kpad + FLAG_ROWS, Dpad]; row kpad
-        carries the random-scan doc-selection flag."""
-        cfg = self.config
-        kpad = max(128, ((cfg.topics + 127) // 128) * 128)
-        dpad = self._sblocks.nwin_d * _SEQ_DSPAN
-        d = self.corpus.num_docs
-        table = jnp.zeros((kpad + FLAG_ROWS, dpad), jnp.float32)
-        table = table.at[:cfg.topics, :d].set(
-            (state.ndk.astype(jnp.float32) + state.alpha[None, :]).T)
-        return table.at[kpad, :d].set(doc_mask.astype(jnp.float32))
-
-    def _step_fused(self, state: LDAState, doc_mask: jax.Array,
-                    type_mask) -> LDAState:
-        cfg = self.config
-        kpad = max(128, ((cfg.topics + 127) // 128) * 128)
-        k_z, k_phi, k_next = jax.random.split(state.key, 3)
-        seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
-                                  jnp.int32)
-        table = self._ndk_table(state, doc_mask)
-        b = self._sblocks
-        z, nkw_vk, table_out = fused_pcgs_sweep(
-            self.swb, self.sdla, state.z, table, state.phi, seed,
-            self.swinb, self.sfirstb, self.swindc,
-            nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
-            dspan=_SEQ_DSPAN, num_topics=cfg.topics)
-        nkw = nkw_vk[: self.corpus.num_types].T          # [K, V]
-        ndk = jnp.rint(table_out[: cfg.topics, : self.corpus.num_docs].T
-                       - state.alpha[None, :]).astype(jnp.int32)
-        phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
-        return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
-                              nk=count_ops.tokens_per_topic(nkw), phi=phi,
-                              iteration=state.iteration + 1)
+        return self._blockify_z_state(super()._init_state(key))
 
     def _step(self, state: LDAState, doc_mask: jax.Array,
               type_mask) -> LDAState:
-        if self._use_fused_sweep():
-            return self._step_fused(state, doc_mask, type_mask)
         cfg = self.config
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
-        word_weights_t, self_corr = self._word_weights_t(state)
-        ndk, z = doc_sequential_sweep(
-            k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
-            word_weights_t, state.alpha, doc_mask,
-            self_correction=self_corr)
-        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
-                                          cfg.topics, self.corpus.num_types)
+        if self._use_fused_sweep():
+            z, ndk, nkw = self._fused_zsweep(k_z, state.z, state.ndk,
+                                             state.alpha, state.phi,
+                                             doc_mask)
+        else:
+            word_weights_t, self_corr = self._word_weights_t(state)
+            ndk, z = doc_sequential_sweep(
+                k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
+                word_weights_t, state.alpha, doc_mask,
+                self_correction=self_corr)
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              cfg.topics,
+                                              self.corpus.num_types)
         phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
         return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
                               nk=count_ops.tokens_per_topic(nkw), phi=phi,
                               iteration=state.iteration + 1)
-
-    # ------------------------------------------------------------------
-    # layout-aware accessors (block-layout z when the fused path is on)
-    # ------------------------------------------------------------------
-    def get_z_indicators(self) -> np.ndarray:
-        if not self._use_fused_sweep():
-            return super().get_z_indicators()
-        z = np.asarray(self.state.z).reshape(-1)
-        idx = self._sblocks.flat_index.reshape(-1)
-        out = np.zeros(self.corpus.num_tokens, np.int32)
-        valid = idx >= 0
-        out[idx[valid]] = z[valid]
-        return out
-
-    def set_z_indicators(self, z_flat):
-        if not self._use_fused_sweep():
-            return super().set_z_indicators(z_flat)
-        z_flat = np.asarray(z_flat, np.int32)
-        st = self.state
-        z = jnp.asarray(self._z_flat_to_blocks(z_flat))
-        d_all = self.corpus.token_doc_ids()
-        ndk = np.zeros((self.corpus.num_docs, self.config.topics), np.int64)
-        np.add.at(ndk, (d_all, z_flat), 1)
-        nkw = np.zeros((self.config.topics, self.corpus.num_types), np.int64)
-        np.add.at(nkw, (z_flat, self.corpus.tokens), 1)
-        nkw = jnp.asarray(nkw.astype(np.int32))
-        key, k_phi = jax.random.split(st.key)
-        phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + st.beta)
-        self.state = st._replace(
-            key=key, z=z, ndk=jnp.asarray(ndk.astype(np.int32)), nkw=nkw,
-            nk=count_ops.tokens_per_topic(nkw), phi=phi)
-
-    def sample_z_given_phi(self, iterations: int = 100):
-        super().sample_z_given_phi(iterations)
-        if self._use_fused_sweep():
-            # base rebuilds z doc-major; convert to the block layout
-            z_np = np.asarray(self.state.z)
-            z_flat = z_np[np.asarray(self.mask_pad)]
-            self.state = self.state._replace(
-                z=jnp.asarray(self._z_flat_to_blocks(z_flat)))
-        return self
 
 
 class LDAPartiallyCollapsedGibbsSampler(UncollapsedParallelLDA):
