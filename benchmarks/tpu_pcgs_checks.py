@@ -118,25 +118,26 @@ from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
 docs_e = [list(rng.integers(0, 2000, rng.integers(20, 200)))
           for _ in range(800)]
 ce = Corpus.from_token_lists(docs_e, [f"w{i}" for i in range(2000)])
-lls = {}
-for kern in ("fused", "xla"):
-    cfg = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
-                    seed=2019, exec_time=-1, zdraw_kernel=kern)
-    m = create_model(cfg)
-    m.add_instances(ce)
-    assert m._use_fused_sweep() == (kern == "fused")
-    traj = []
-    for _ in range(6):
-        m.sample(5)
-        assert int(np.asarray(m.state.nkw).sum()) == ce.num_tokens
-        assert int(np.asarray(m.state.ndk).sum()) == ce.num_tokens
-        traj.append(float(model_log_likelihood(
-            m.state.ndk, m._nkw_kv(), m.get_alpha(), m.get_beta())))
-    lls[kern] = traj
-    print(f"4. {kern}: LL trajectory {[round(x, 0) for x in traj]}")
-gap = abs(lls["fused"][-1] - lls["xla"][-1]) / abs(lls["xla"][-1])
-assert gap < 0.01, (lls, gap)
-print(f"4. end-to-end fused vs XLA final-LL gap: {gap:.4%} — ok")
+for scheme in ("pcgs", "adlda"):
+    lls = {}
+    for kern in ("fused", "xla"):
+        cfg = LDAConfig(scheme=scheme, topics=20, alpha=0.5, beta=0.01,
+                        seed=2019, exec_time=-1, zdraw_kernel=kern)
+        m = create_model(cfg)
+        m.add_instances(ce)
+        assert m._use_fused_sweep() == (kern == "fused")
+        traj = []
+        for _ in range(6):
+            m.sample(5)
+            assert int(np.asarray(m.state.nkw).sum()) == ce.num_tokens
+            assert int(np.asarray(m.state.ndk).sum()) == ce.num_tokens
+            traj.append(float(model_log_likelihood(
+                m.state.ndk, m._nkw_kv(), m.get_alpha(), m.get_beta())))
+        lls[kern] = traj
+        print(f"4. {scheme}/{kern}: LL {[round(x, 0) for x in traj]}")
+    gap = abs(lls["fused"][-1] - lls["xla"][-1]) / abs(lls["xla"][-1])
+    assert gap < 0.01, (scheme, lls, gap)
+    print(f"4. {scheme} fused vs XLA final-LL gap: {gap:.4%} — ok")
 
 # ---- 5. HDP rides the fused sweep: fused vs XLA agreement ----------------
 act = {}

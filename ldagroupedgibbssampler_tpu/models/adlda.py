@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ldagroupedgibbssampler_tpu.models.base import LDAState, TpuLDASampler
+from ldagroupedgibbssampler_tpu.models.fused_sweep import FusedPCGSSweepMixin
 from ldagroupedgibbssampler_tpu.ops import counts as count_ops
 from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
@@ -34,28 +35,41 @@ from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
 _EPS = 1e-30
 
 
-class ADLDA(TpuLDASampler):
+class ADLDA(FusedPCGSSweepMixin, TpuLDASampler):
     layout = "doc_major"
     smooth_phi = True
+
+    def _init_state(self, key: jax.Array) -> LDAState:
+        return self._blockify_z_state(super()._init_state(key))
 
     def _step(self, state: LDAState, doc_mask: jax.Array,
               type_mask) -> LDAState:
         cfg = self.config
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
         num_types = self.corpus.num_types
-        # Collapsed word term against sweep-stale global counts:
-        # (beta + N_kw) / (V beta + n_k), precomputed [V, K] (linear space).
-        word_weights_t = (
-            (state.beta + state.nkw.T.astype(jnp.float32))
-            / (state.beta * num_types
-               + state.nk.astype(jnp.float32))[None, :])
-        ndk, z = doc_sequential_sweep(
-            k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
-            word_weights_t, state.alpha, doc_mask,
-            self_correction=(state.nkw, state.nk, state.beta))
-        # The AD-LDA merge: rebuild global counts from all shards' z.
-        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
-                                          cfg.topics, num_types)
+        if self._use_fused_sweep():
+            # collapsed mode of the fused kernel: stale (beta + N_kw) word
+            # table + (V beta + n_k) denominators, own-count exclusion
+            # in-kernel; the kernel's N_kw output IS the AD-LDA merge.
+            z, ndk, nkw = self._fused_zsweep(
+                k_z, state.z, state.ndk, state.alpha,
+                state.beta + state.nkw.T.astype(jnp.float32), doc_mask,
+                nk_plus=state.beta * num_types
+                + state.nk.astype(jnp.float32))
+        else:
+            # Collapsed word term against sweep-stale global counts:
+            # (beta + N_kw) / (V beta + n_k), precomputed [V, K].
+            word_weights_t = (
+                (state.beta + state.nkw.T.astype(jnp.float32))
+                / (state.beta * num_types
+                   + state.nk.astype(jnp.float32))[None, :])
+            ndk, z = doc_sequential_sweep(
+                k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
+                word_weights_t, state.alpha, doc_mask,
+                self_correction=(state.nkw, state.nk, state.beta))
+            # The AD-LDA merge: rebuild global counts from all shards' z.
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              cfg.topics, num_types)
         # phi is not part of the collapsed chain; keep an augmented draw so
         # diagnostics (log posterior, phi means) have the same surface as the
         # reference's estimate() diagnostics block (ADLDA.java:405-515).

@@ -98,18 +98,21 @@ class FusedPCGSSweepMixin:
             (ndk.astype(jnp.float32) + alpha[None, :]).T)
         return table.at[kpad, :d].set(doc_mask.astype(jnp.float32))
 
-    def _fused_zsweep(self, k_z, z_blocks, ndk, alpha, phi, doc_mask):
+    def _fused_zsweep(self, k_z, z_blocks, ndk, alpha, word_vk, doc_mask,
+                      nk_plus=None):
         """One fused Gibbs sweep. Returns (z_blocks', ndk' int32 [D, K],
         nkw' int32 [K, V]) — n_dk rides the kernel's resident table, N_kw
-        accumulates in-kernel, so no recount is needed."""
+        accumulates in-kernel, so no recount is needed. `word_vk` is phi
+        [V, K] (PCGS/HDP) or the stale (beta + N_kw).T with `nk_plus` =
+        (V beta + n_k) for the collapsed ADLDA conditional."""
         cfg = self.config
         seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
                                   jnp.int32)
         table = self._ndk_table(ndk, alpha, doc_mask)
         b = self._sblocks
         z, nkw_vk, table_out = fused_pcgs_sweep(
-            self.swb, self.sdla, z_blocks, table, phi, seed,
-            self.swinb, self.sfirstb, self.swindc,
+            self.swb, self.sdla, z_blocks, table, word_vk, seed,
+            self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
             nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
             dspan=_SEQ_DSPAN, num_topics=cfg.topics)
         nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]

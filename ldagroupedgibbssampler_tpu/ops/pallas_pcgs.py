@@ -53,12 +53,11 @@ FLAG_ROWS = 8  # extra table rows; row kpad = doc-mask flag, rest zero
 def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
                  w_ref, d_ref, zo_ref, win_d_ref, ph_ref, tril_ref,
                  *rest, vspan, dspan, kpad, num_topics, chunks, chunk,
-                 u24_operand):
-    if u24_operand:
-        u24_ref, ndk_in_ref, z_out, nkw_out, ndk_ref = rest
-    else:
-        u24_ref = None
-        ndk_in_ref, z_out, nkw_out, ndk_ref = rest
+                 u24_operand, collapsed):
+    rest = list(rest)
+    nkc_ref = rest.pop(0) if collapsed else None
+    u24_ref = rest.pop(0) if u24_operand else None
+    ndk_in_ref, z_out, nkw_out, ndk_ref = rest
     # ndk_in_ref aliases ndk_ref at the HBM level (input_output_aliases),
     # but input and output have separate resident VMEM blocks: seed the
     # output block from the input once, then all reads and writes go
@@ -107,10 +106,22 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
                              precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=jnp.float32)
         flag = nd_ext[kpad, :]                             # [chunk]
-        nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]    # decrement own z
-        ph = jax.lax.dot(ph_ref[:, :], oh_w,
-                         preferred_element_type=jnp.float32)
-        probs = (nd * ph).astype(jnp.bfloat16)             # [kpad, chunk]
+        corr = oh_zold * flag[None, :]                     # own-z exclusion
+        nd = nd_ext[:kpad, :] - corr                       # decrement own z
+        if collapsed:
+            # ADLDA word term with exact self-correction: the stale table
+            # holds (beta + N_kw); exclude the token's own count from both
+            # numerator and the (V beta + n_k) denominator. f32 HIGHEST
+            # select keeps the integer counts exact.
+            num = jax.lax.dot(ph_ref[:, :], oh_w.astype(jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32) - corr
+            den = nkc_ref[:, 0:1] - corr
+            probs = (nd * (num / den)).astype(jnp.bfloat16)
+        else:
+            ph = jax.lax.dot(ph_ref[:, :], oh_w,
+                             preferred_element_type=jnp.float32)
+            probs = (nd * ph).astype(jnp.bfloat16)         # [kpad, chunk]
         tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
                              preferred_element_type=jnp.float32)
                  for t in range(ntile)]
@@ -148,8 +159,8 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
     jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
                               "num_topics", "interpret"))
 def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
-                     win_d_chunks, u24=None, *, nwin_w, nwin_d, vspan, dspan,
-                     num_topics, interpret=False):
+                     win_d_chunks, u24=None, nk_plus=None, *, nwin_w, nwin_d,
+                     vspan, dspan, num_topics, interpret=False):
     """One PCGS Gibbs sweep: draw z for every token with immediate n_dk
     updates, accumulate N_kw, and return the updated n_dk table.
 
@@ -158,10 +169,18 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
     ndk_table: f32 [kpad + FLAG_ROWS, Dpad] — (n_dk + alpha_k).T padded;
         row kpad = doc_mask flag (1.0 selected / 0.0 not). Aliased: the
         returned table is this buffer updated in place (donate it).
-    phi_vk: f32 [V, K] — fixed for the whole sweep.
+    phi_vk: f32 [V, K] word table, fixed for the whole sweep: phi for the
+        PCGS/GGS-family conditional, or the STALE (beta + N_kw) counts for
+        the collapsed ADLDA conditional (with `nk_plus`).
     u24: optional int32 [NB, chunks, chunk] of 24-bit uniforms in
         [0, 2^24); replaces the in-kernel PRNG (which InterpretParams
         cannot lower) — the off-TPU test path.
+    nk_plus: optional f32 [K] of (V beta + n_k) sweep-stale denominators.
+        When given, the sweep is the COLLAPSED conditional
+        (n_dk + alpha_k)(beta + N_kw - own)/(V beta + n_k - own) — ADLDA
+        (MyWorkerRunnable.java:65-215) with the token's own assignment
+        excluded exactly from numerator and denominator; the word table is
+        then selected in f32 HIGHEST to keep counts exact.
 
     Returns (z [NB, chunks, chunk], nkw [nwin_w * vspan, K] int32,
              ndk_table_out [kpad + FLAG_ROWS, Dpad] f32).
@@ -170,9 +189,19 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
     kpad = max(128, ((num_topics + 127) // 128) * 128)
     vpad = nwin_w * vspan
     v, k = phi_vk.shape
+    collapsed = nk_plus is not None
     assert ndk_table.shape[0] == kpad + FLAG_ROWS
-    ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T.astype(
-        jnp.bfloat16)
+    ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
+    ph = ph.astype(jnp.float32 if collapsed else jnp.bfloat16)
+    nkc_specs, nkc_ops = [], []
+    if collapsed:
+        # [kpad, 128] column-replicated denominators; padding rows get 1.0
+        # so num/den stays finite (num is 0 there)
+        nkc = jnp.pad(nk_plus.astype(jnp.float32), (0, kpad - k),
+                      constant_values=1.0)
+        nkc_ops = [jnp.broadcast_to(nkc[:, None], (kpad, 128))]
+        nkc_specs = [pl.BlockSpec((kpad, 128), lambda i, *_: (0, 0),
+                                  memory_space=pltpu.VMEM)]
 
     wd_rows = max(1, -(-chunks // 128))
     wd3 = jnp.pad(win_d_chunks.reshape(nb, chunks),
@@ -204,6 +233,7 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
+            *nkc_specs,
             *u24_specs,
             pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -218,12 +248,12 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
                          memory_space=pltpu.VMEM),
         ],
     )
-    ndk_idx = 9 + len(u24_ops)
+    ndk_idx = 9 + len(nkc_ops) + len(u24_ops)
     z, nkw, table = pl.pallas_call(
         functools.partial(
             _pcgs_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
             num_topics=num_topics, chunks=chunks, chunk=chunk,
-            u24_operand=u24 is not None),
+            u24_operand=u24 is not None, collapsed=collapsed),
         out_shape=[
             jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
             jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
@@ -233,7 +263,7 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
         input_output_aliases={ndk_idx: 2},  # ndk_table -> out 2
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, win_w, first_w, w3, d3, z_old, wd3, ph, tril_op,
-      *u24_ops, ndk_table)
+      *nkc_ops, *u24_ops, ndk_table)
     return z, nkw[:, :num_topics].astype(jnp.int32), table
 
 

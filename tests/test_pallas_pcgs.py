@@ -60,7 +60,8 @@ def test_seq_layout_invariants(vspan, dspan, block):
     assert b.first_w.sum() == b.nwin_w
 
 
-def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128):
+def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128,
+               nk_plus=None):
     b = c.cell_blocks_seq(block=512, vspan=vspan, dspan=128, chunk=128)
     nb = b.w_local.shape[0]
     chunks = b.w_local.shape[1] // b.chunk
@@ -85,6 +86,7 @@ def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128):
         jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w),
         jnp.asarray(b.first_w), jnp.asarray(b.win_d_chunks),
         jnp.asarray(u24),
+        None if nk_plus is None else jnp.asarray(nk_plus, jnp.float32),
         nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=vspan, dspan=128,
         num_topics=K, interpret=jax.default_backend() != "tpu")
     z_out = np.zeros(c.num_tokens, np.int32)
@@ -176,6 +178,38 @@ def test_fused_sweep_sequential_updates():
         zs = z_out[dall == d]
         share = np.bincount(zs, minlength=K).max() / len(zs)
         assert share >= 0.8, (d, share)
+
+
+def test_fused_sweep_collapsed_distribution():
+    """Collapsed (ADLDA) mode: chi-square of single-token-doc draws against
+    the exact conditional (n_dk+alpha_k)(beta+N_kw-own)/(Vbeta+n_k-own)
+    (MyWorkerRunnable.java:65-215 semantics). All D tokens share word 0 and
+    z_old=0, so the stale counts and the own-count correction are known in
+    closed form."""
+    from scipy import stats as sps
+    D, K, V = 4000, 5, 2
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    z_flat = np.zeros(D, np.int32)
+    alpha = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
+    beta = 0.3
+    nkw_stale = np.zeros((K, V), np.float64)
+    nkw_stale[0, 0] = D
+    nk_stale = nkw_stale.sum(1)
+    word = (beta + nkw_stale.T).astype(np.float32)       # [V, K]
+    nk_plus = (beta * V + nk_stale).astype(np.float32)   # [K]
+    own = np.zeros(K)
+    own[0] = 1.0  # every token's own assignment is topic 0
+    p = alpha * (beta + nkw_stale[:, 0] - own) / (beta * V + nk_stale - own)
+    p = p / p.sum()
+    z_out, nkw, _, _ = _run_sweep(c, K, z_flat, np.ones(D, np.float32),
+                                  word, alpha, seed=21, nk_plus=nk_plus)
+    obs = np.bincount(z_out, minlength=K).astype(np.float64)
+    chi2 = float(((obs - p * D) ** 2 / (p * D)).sum())
+    assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
+    # the kernel's N_kw output reflects the NEW z (the AD-LDA merge)
+    ref = np.zeros((V, K), np.int64)
+    np.add.at(ref, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref)
 
 
 def test_fused_gate_off_tpu_and_vmem():
