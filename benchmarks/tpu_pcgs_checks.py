@@ -118,7 +118,7 @@ from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
 docs_e = [list(rng.integers(0, 2000, rng.integers(20, 200)))
           for _ in range(800)]
 ce = Corpus.from_token_lists(docs_e, [f"w{i}" for i in range(2000)])
-for scheme in ("pcgs", "adlda"):
+for scheme in ("pcgs", "adlda", "lightpclda"):
     lls = {}
     for kern in ("fused", "xla"):
         cfg = LDAConfig(scheme=scheme, topics=20, alpha=0.5, beta=0.01,

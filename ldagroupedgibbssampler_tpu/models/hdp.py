@@ -154,7 +154,7 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(FusedPCGSSweepMixin,
 
         if self._use_fused_sweep():
             z, ndk, nkw = self._fused_zsweep(k_z, state.z, state.ndk,
-                                             state.alpha, state.phi,
+                                             state.alpha, state.phi.T,
                                              doc_mask)
         else:
             ndk, z = doc_sequential_sweep(

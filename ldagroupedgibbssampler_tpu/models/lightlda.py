@@ -122,21 +122,49 @@ class LightPCLDA(UncollapsedParallelLDA):
 
     layout = "doc_major"
     smooth_phi = True
-    fused_pcgs_eligible = False  # own MH sweep over the doc-major layout
 
     def _target_and_proposal(self, state: LDAState):
         log_phi_t = jnp.log(state.phi.T + _EPS)
         return log_phi_t, log_phi_t
 
+    def _target_and_proposal_linear(self, state: LDAState):
+        """Linear-space [V, K] word target / proposal tables for the fused
+        MH kernel (ops/pallas_lightlda.py)."""
+        return state.phi.T, state.phi.T
+
+    def _fused_mh(self, k_z, state, doc_mask):
+        from ldagroupedgibbssampler_tpu.ops.pallas_lightlda import (
+            fused_lightlda_sweep)
+        cfg = self.config
+        tw, qw = self._target_and_proposal_linear(state)
+        seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
+                                  jnp.int32)
+        table = self._ndk_table(state.ndk, state.alpha, doc_mask)
+        b = self._sblocks
+        z, nkw_vk, table_out = fused_lightlda_sweep(
+            self.swb, self.sdla, state.z, table, tw, qw, seed,
+            self.swinb, self.sfirstb, self.swindc,
+            nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+            dspan=128, num_topics=cfg.topics)
+        nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
+        ndk = jnp.rint(
+            table_out[: cfg.topics, : self.corpus.num_docs].T
+            - state.alpha[None, :]).astype(jnp.int32)
+        return z, ndk, nkw
+
     def _step(self, state: LDAState, doc_mask, type_mask) -> LDAState:
         cfg = self.config
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
-        target_t, proposal_t = self._target_and_proposal(state)
-        ndk, z = lightlda_sweep(k_z, self.w_pad, self.mask_pad, state.z,
-                                state.ndk, target_t, proposal_t, state.alpha,
-                                doc_mask)
-        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
-                                          cfg.topics, self.corpus.num_types)
+        if self._use_fused_sweep():
+            z, ndk, nkw = self._fused_mh(k_z, state, doc_mask)
+        else:
+            target_t, proposal_t = self._target_and_proposal(state)
+            ndk, z = lightlda_sweep(k_z, self.w_pad, self.mask_pad,
+                                    state.z, state.ndk, target_t,
+                                    proposal_t, state.alpha, doc_mask)
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              cfg.topics,
+                                              self.corpus.num_types)
         phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
         return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
                               nk=count_ops.tokens_per_topic(nkw), phi=phi,
@@ -153,6 +181,9 @@ class LightPCLDAtypeTopicProposal(LightPCLDA):
                              + state.beta + _EPS)
         return log_phi_t, proposal_t
 
+    def _target_and_proposal_linear(self, state: LDAState):
+        return state.phi.T, state.nkw.T.astype(jnp.float32) + state.beta
+
 
 class CollapsedLightLDA(LightPCLDA):
     """Scheme `lightcollapsed`: fully collapsed target with sweep-stale
@@ -167,16 +198,28 @@ class CollapsedLightLDA(LightPCLDA):
                         + state.nk.astype(jnp.float32))[None, :])
         return tw, tw
 
+    def _target_and_proposal_linear(self, state: LDAState):
+        num_types = self.corpus.num_types
+        tw = ((state.beta + state.nkw.T.astype(jnp.float32))
+              / (state.beta * num_types
+                 + state.nk.astype(jnp.float32))[None, :])
+        return tw, tw
+
     def _step(self, state: LDAState, doc_mask, type_mask) -> LDAState:
         cfg = self.config
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
-        target_t, proposal_t = self._target_and_proposal(state)
-        ndk, z = lightlda_sweep(k_z, self.w_pad, self.mask_pad, state.z,
-                                state.ndk, target_t, proposal_t, state.alpha,
-                                doc_mask)
-        # the "sumTypeTopicCounts" merge: rebuild globals from all docs' z.
-        nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
-                                          cfg.topics, self.corpus.num_types)
+        if self._use_fused_sweep():
+            # the kernel's N_kw output is the "sumTypeTopicCounts" merge
+            z, ndk, nkw = self._fused_mh(k_z, state, doc_mask)
+        else:
+            target_t, proposal_t = self._target_and_proposal(state)
+            ndk, z = lightlda_sweep(k_z, self.w_pad, self.mask_pad,
+                                    state.z, state.ndk, target_t,
+                                    proposal_t, state.alpha, doc_mask)
+            # "sumTypeTopicCounts": rebuild globals from all docs' z.
+            nkw = count_ops.topic_word_counts(z, self.w_pad, self.mask_pad,
+                                              cfg.topics,
+                                              self.corpus.num_types)
         # collapsed chain: phi is a diagnostic augmented draw only.
         phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + state.beta)
         return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,

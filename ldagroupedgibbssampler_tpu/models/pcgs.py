@@ -70,7 +70,7 @@ class UncollapsedParallelLDA(FusedPCGSSweepMixin, TpuLDASampler):
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
         if self._use_fused_sweep():
             z, ndk, nkw = self._fused_zsweep(k_z, state.z, state.ndk,
-                                             state.alpha, state.phi,
+                                             state.alpha, state.phi.T,
                                              doc_mask)
         else:
             word_weights_t, self_corr = self._word_weights_t(state)

@@ -1,0 +1,239 @@
+"""Fused LightLDA MH sweep kernel (Pallas TPU): gather-free two-step
+Metropolis-Hastings z-draws with in-kernel n_dk updates.
+
+TPU replacement for the XLA position-scan MH sweep
+(models/lightlda.py::lightlda_sweep), which is gather-bound like the XLA
+PCGS sweep was (per-position [D, K] rows of the target/proposal tables).
+Same cell-block machinery as ops/pallas_pcgs.py: sequential-safe layout
+(no chunk holds two tokens of one document), VMEM-resident
+(n_dk + alpha | flag) table, one-hot MXU selects, tiled tril inverse-CDF
+draws. Per token (LightPCLDA.java MH structure, :50-70 word proposal /
+doc-proposal mixing; CollapsedLightLDA.java:946-1005):
+
+  step 1 (word proposal):  k1 ~ q_w(k) ∝ qw[k][w]  (tril cumsum draw);
+      accept w.p. min(1, nd[k1] tw[k1] qw[z] / (nd[z] tw[z] qw[k1]))
+      where nd = n_dk^{-i} + alpha_k and tw is the scheme's word term.
+  step 2 (doc proposal):   k2 ~ q_d(k) ∝ nd[k]     (tril cumsum draw);
+      q_d cancels the doc part of the target exactly, leaving
+      accept w.p. min(1, tw[k2] / tw[z1]).
+
+The doc proposal is drawn DIRECTLY from n_dk^{-i} + alpha — the exact
+distribution the reference's uniform-token/alpha mixture approximates
+(LightPCLDA's trick exists to make a scalar-CPU draw O(1); the XLA path
+keeps the mixture form, this kernel draws q_d exactly so the acceptance
+cancellation is exact). Target/proposal word tables are bf16-quantised
+once per sweep; draws and acceptance ratios use the SAME quantised values
+(one-hot selects of the bf16 tables), so the chain is a valid MH sampler
+for the quantised-target model — the same quantisation the fused GGS/PCGS
+kernels apply to phi.
+
+N_kw accumulates in w-window-major blocks exactly like the PCGS kernel
+(zeroed on first_w) — for the PC variants it feeds phi ~ Dir(beta + N_kw);
+for the collapsed variant it IS the per-sweep count merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+    FLAG_ROWS, cdf_draw)
+
+_GOLD = -1640531527  # 2^32 / golden ratio, as int32
+
+
+def _mh_kernel(seed_ref, win_w_ref, first_w_ref,
+               w_ref, d_ref, zo_ref, win_d_ref, tw_ref, qw_ref, tril_ref,
+               *rest, vspan, dspan, kpad, num_topics, chunks, chunk,
+               u24_operand):
+    rest = list(rest)
+    u24_ref = rest.pop(0) if u24_operand else None
+    ndk_in_ref, z_out, nkw_out, ndk_ref = rest
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+
+    @pl.when(i == 0)
+    def _():
+        ndk_ref[:] = ndk_in_ref[:]
+
+    @pl.when(first_w_ref[i] == 1)
+    def _():
+        nkw_out[:] = jnp.zeros_like(nkw_out)
+
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
+    tril = tril_ref[:, :]
+
+    # 4 uniforms per token: word draw, accept 1, doc draw, accept 2
+    if u24_operand:
+        u24s = u24_ref[0]
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((4 * chunks, chunk)),
+                             jnp.uint32)
+        u24s = pltpu.bitcast(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
+    inv24 = jnp.float32(2 ** -24)
+    acc = jnp.zeros((vspan, kpad), jnp.float32)
+    for c in range(chunks):
+        wrow = w_ref[0, c, :]
+        drow = d_ref[0, c, :]
+        zold = zo_ref[0, c, :]
+        win_d = win_d_ref[0, c // 128, c % 128]
+
+        oh_d = (iota_d == drow[None, :]).astype(jnp.float32)
+        oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
+        oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
+
+        ndk_win = ndk_ref[:, pl.ds(win_d * dspan, dspan)]
+        nd_ext = jax.lax.dot(ndk_win, oh_d,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        flag = nd_ext[kpad, :]                             # [chunk]
+        nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]    # n^{-i} + alpha
+        # word-term / proposal columns for each token's w (bf16 values,
+        # exact through the one-hot select's f32 accumulation)
+        tw = jax.lax.dot(tw_ref[:, :], oh_w,
+                         preferred_element_type=jnp.float32)
+        qw = jax.lax.dot(qw_ref[:, :], oh_w,
+                         preferred_element_type=jnp.float32)
+
+        # ---- MH step 1: word proposal ----
+        k1, totq = cdf_draw(tril, qw.astype(jnp.bfloat16), u24s[4 * c],
+                            num_topics)
+        oh_k1 = (iota_k == k1[None, :]).astype(jnp.float32)
+        nd_z = jnp.sum(nd * oh_zold, axis=0)
+        nd_1 = jnp.sum(nd * oh_k1, axis=0)
+        tw_z = jnp.sum(tw * oh_zold, axis=0)
+        tw_1 = jnp.sum(tw * oh_k1, axis=0)
+        qw_z = jnp.sum(qw * oh_zold, axis=0)
+        qw_1 = jnp.sum(qw * oh_k1, axis=0)
+        u1 = u24s[4 * c + 1].astype(jnp.float32) * inv24
+        acc1 = u1 * (nd_z * tw_z * qw_1) < nd_1 * tw_1 * qw_z
+        z1 = jnp.where(acc1 & (totq > 0), k1, zold)
+        tw_z1 = jnp.where(acc1 & (totq > 0), tw_1, tw_z)
+
+        # ---- MH step 2: doc proposal (exact q_d ∝ n^{-i} + alpha) ----
+        k2, totd = cdf_draw(tril, nd.astype(jnp.bfloat16), u24s[4 * c + 2],
+                            num_topics)
+        oh_k2 = (iota_k == k2[None, :]).astype(jnp.float32)
+        tw_2 = jnp.sum(tw * oh_k2, axis=0)
+        u2 = u24s[4 * c + 3].astype(jnp.float32) * inv24
+        z2 = jnp.where((u2 * tw_z1 < tw_2) & (totd > 0), k2, z1)
+
+        zout = jnp.where(flag > 0.5, z2, zold)
+        z_out[0, c, :] = zout
+
+        oh_z = (iota_k == zout[None, :]).astype(jnp.bfloat16)
+        delta = (oh_z.astype(jnp.float32) - oh_zold).astype(jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [kpad, dspan]
+        ndk_ref[:kpad, pl.ds(win_d * dspan, dspan)] = (
+            ndk_ref[:kpad, pl.ds(win_d * dspan, dspan)] + upd)
+        acc += jax.lax.dot_general(
+            oh_w, oh_z, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    nkw_out[:] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
+                              "num_topics", "interpret"))
+def fused_lightlda_sweep(w3, d3, z_old, ndk_table, tw_vk, qw_vk, seed,
+                         win_w, first_w, win_d_chunks, u24=None, *,
+                         nwin_w, nwin_d, vspan, dspan, num_topics,
+                         interpret=False):
+    """One LightLDA MH sweep over sequential-safe cell blocks.
+
+    tw_vk / qw_vk: f32 [V, K] linear-space word target / proposal tables
+        (phi for lightpclda; counts+beta for the w2 proposal; the stale
+        collapsed ratio for lightcollapsed) — bf16-quantised internally.
+    ndk_table: f32 [kpad + FLAG_ROWS, Dpad] as in fused_pcgs_sweep.
+    u24: optional int32 [NB, 4 * chunks, chunk] injected uniforms
+        (interpreter path), 4 per token.
+
+    Returns (z [NB, chunks, chunk], nkw [nwin_w * vspan, K] int32,
+             ndk_table_out)."""
+    nb, chunks, chunk = w3.shape
+    kpad = max(128, ((num_topics + 127) // 128) * 128)
+    vpad = nwin_w * vspan
+    v, k = tw_vk.shape
+    assert k == num_topics, \
+        f"word tables must be [V, K]={v, num_topics}, got {tw_vk.shape}"
+    assert qw_vk.shape == tw_vk.shape
+    assert ndk_table.shape[0] == kpad + FLAG_ROWS
+    tw = jnp.pad(tw_vk, ((0, vpad - v), (0, kpad - k))).T.astype(
+        jnp.bfloat16)
+    qw = jnp.pad(qw_vk, ((0, vpad - v), (0, kpad - k))).T.astype(
+        jnp.bfloat16)
+
+    wd_rows = max(1, -(-chunks // 128))
+    wd3 = jnp.pad(win_d_chunks.reshape(nb, chunks),
+                  ((0, 0), (0, wd_rows * 128 - chunks))
+                  ).reshape(nb, wd_rows, 128)
+    tril_op = jnp.tril(jnp.ones((128, 128), jnp.bfloat16))
+    dpad = ndk_table.shape[1]
+    u24_specs, u24_ops = [], []
+    if u24 is not None:
+        assert u24.shape == (nb, 4 * chunks, chunk)
+        u24_specs = [pl.BlockSpec((1, 4 * chunks, chunk),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        u24_ops = [u24]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((kpad, vspan),
+                         lambda i, seed, ww, fw: (0, ww[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, vspan),
+                         lambda i, seed, ww, fw: (0, ww[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *u24_specs,
+            pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((vspan, kpad),
+                         lambda i, seed, ww, fw: (ww[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    ndk_idx = 10 + len(u24_ops)
+    z, nkw, table = pl.pallas_call(
+        functools.partial(
+            _mh_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
+            num_topics=num_topics, chunks=chunks, chunk=chunk,
+            u24_operand=u24 is not None),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((kpad + FLAG_ROWS, dpad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={ndk_idx: 2},  # ndk_table -> out 2
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, win_w, first_w, w3, d3, z_old, wd3, tw, qw, tril_op,
+      *u24_ops, ndk_table)
+    return z, nkw[:, :num_topics].astype(jnp.int32), table

@@ -50,6 +50,34 @@ _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 FLAG_ROWS = 8  # extra table rows; row kpad = doc-mask flag, rest zero
 
 
+def cdf_draw(tril, probs, u24, num_topics):
+    """Tiled inverse-CDF categorical draw over the topic axis.
+
+    probs: bf16 [kpad, chunk] unnormalised masses (rows >= num_topics must
+    be zero). u24: int32 [chunk] uniforms in [0, 2^24). The cumsum runs as
+    per-128-row tril matmuls with running offsets folded into the
+    threshold (O(kpad*128) MXU work). Returns (z int32 [chunk] clamped to
+    num_topics-1, total f32 [chunk]).
+    """
+    kpad, chunk = probs.shape
+    ntile = kpad // 128
+    tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
+                         preferred_element_type=jnp.float32)
+             for t in range(ntile)]
+    offs = [jnp.zeros((chunk,), jnp.float32)]
+    total = tiles[0][127, :]
+    for t in range(1, ntile):
+        offs.append(total)
+        total = total + tiles[t][127, :]
+    u = u24.astype(jnp.float32) * jnp.float32(2 ** -24) * total
+    cnt = jnp.zeros((chunk,), jnp.int32)
+    for t in range(ntile):
+        cnt = cnt + jnp.sum(
+            (tiles[t] <= (u - offs[t])[None, :]).astype(jnp.int32),
+            axis=0)
+    return jnp.minimum(cnt, num_topics - 1), total
+
+
 def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
                  w_ref, d_ref, zo_ref, win_d_ref, ph_ref, tril_ref,
                  *rest, vspan, dspan, kpad, num_topics, chunks, chunk,
@@ -77,7 +105,6 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
     tril = tril_ref[:, :]
-    ntile = kpad // 128
 
     if u24_operand:
         # injected 24-bit uniforms (interpreter path: the in-kernel PRNG is
@@ -122,21 +149,7 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
             ph = jax.lax.dot(ph_ref[:, :], oh_w,
                              preferred_element_type=jnp.float32)
             probs = (nd * ph).astype(jnp.bfloat16)         # [kpad, chunk]
-        tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
-                             preferred_element_type=jnp.float32)
-                 for t in range(ntile)]
-        offs = [jnp.zeros((chunk,), jnp.float32)]
-        total = tiles[0][127, :]
-        for t in range(1, ntile):
-            offs.append(total)
-            total = total + tiles[t][127, :]
-        u = u24s[c].astype(jnp.float32) * jnp.float32(2 ** -24) * total
-        cnt = jnp.zeros((chunk,), jnp.int32)
-        for t in range(ntile):
-            cnt = cnt + jnp.sum(
-                (tiles[t] <= (u - offs[t])[None, :]).astype(jnp.int32),
-                axis=0)
-        znew = jnp.minimum(cnt, num_topics - 1)
+        znew, total = cdf_draw(tril, probs, u24s[c], num_topics)
         zout = jnp.where((flag > 0.5) & (total > 0), znew, zold)
         z_out[0, c, :] = zout
 
@@ -189,6 +202,8 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
     kpad = max(128, ((num_topics + 127) // 128) * 128)
     vpad = nwin_w * vspan
     v, k = phi_vk.shape
+    assert k == num_topics, \
+        f"word table must be [V, K]={v, num_topics}, got {phi_vk.shape}"
     collapsed = nk_plus is not None
     assert ndk_table.shape[0] == kpad + FLAG_ROWS
     ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
