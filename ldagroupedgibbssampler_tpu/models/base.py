@@ -765,9 +765,24 @@ class TpuLDASampler:
 
     # checkpoint / resume (SURVEY.md §5: make (z, counts, phi, key,
     # iteration) a real checkpoint — the reference only had setZIndicators)
+    def _z_from_flat(self, z_flat: np.ndarray) -> np.ndarray:
+        """Inverse of get_z_indicators: flat canonical token order → this
+        sampler's internal z layout."""
+        z_flat = np.asarray(z_flat, np.int32)
+        if self.layout == "flat":
+            z = np.zeros(self.w.shape, np.int32)
+            z[: len(z_flat)] = z_flat
+            return z
+        z = np.zeros(self.w_pad.shape, np.int32)
+        z[np.asarray(self.mask_pad)] = z_flat
+        return z
+
     def save_checkpoint(self, path: str):
         st = self.state
-        np.savez(path, z=np.asarray(st.z), ndk=np.asarray(st.ndk),
+        # z is stored in the flat canonical token order so a checkpoint is
+        # portable across backends/layouts (the fused TPU paths keep z in
+        # block layouts; CPU keeps it doc-major)
+        np.savez(path, z=self.get_z_indicators(), ndk=np.asarray(st.ndk),
                  nkw=np.asarray(st.nkw), nk=np.asarray(st.nk),
                  phi=np.asarray(st.phi),
                  theta=(np.asarray(st.theta) if st.theta is not None
@@ -776,13 +791,19 @@ class TpuLDASampler:
                  iteration=np.asarray(st.iteration),
                  key=jax.random.key_data(st.key))
 
+    def _load_z(self, d) -> jnp.ndarray:
+        z = np.asarray(d["z"])
+        if z.shape == (self.corpus.num_tokens,):
+            return jnp.asarray(self._z_from_flat(z))
+        return jnp.asarray(z)  # legacy raw-layout checkpoint
+
     def load_checkpoint(self, path: str):
         d = np.load(path if path.endswith(".npz") else path + ".npz")
         theta = jnp.asarray(d["theta"]) if d["theta"].size else None
         self.state = LDAState(
             key=jax.random.wrap_key_data(jnp.asarray(d["key"]),
                                          impl=self.config.prng_impl),
-            z=jnp.asarray(d["z"]), ndk=jnp.asarray(d["ndk"]),
+            z=self._load_z(d), ndk=jnp.asarray(d["ndk"]),
             nkw=jnp.asarray(d["nkw"]), nk=jnp.asarray(d["nk"]),
             phi=jnp.asarray(d["phi"]), theta=theta,
             alpha=jnp.asarray(d["alpha"]), beta=jnp.asarray(d["beta"]),

@@ -122,6 +122,11 @@ class FusedPCGSSweepMixin:
         return z, ndk_out, nkw
 
     # -- layout-aware accessors (block-layout z when the path is on) -------
+    def _z_from_flat(self, z_flat: np.ndarray) -> np.ndarray:
+        if not self._use_fused_sweep():
+            return super()._z_from_flat(z_flat)
+        return self._z_flat_to_blocks(z_flat)
+
     def get_z_indicators(self) -> np.ndarray:
         if not self._use_fused_sweep():
             return super().get_z_indicators()

@@ -298,6 +298,13 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         out[idx[valid]] = z[valid]
         return out
 
+    def _z_from_flat(self, z_flat: np.ndarray) -> np.ndarray:
+        z_flat = np.asarray(z_flat, np.int32)
+        z = np.zeros(self._blocks.flat_index.shape, np.int32)
+        valid = self._blocks.flat_index >= 0
+        z[valid] = z_flat[self._blocks.flat_index[valid]]
+        return z.reshape(-1)  # GGS keeps z flat over block slots
+
     def set_z_indicators(self, z_flat):
         z_flat = np.asarray(z_flat, np.int32)
         z = np.zeros(self._blocks.flat_index.shape, np.int32)

@@ -205,7 +205,7 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(FusedPCGSSweepMixin,
 
     def save_checkpoint(self, path: str):
         st = self.state
-        np.savez(path, z=np.asarray(st.z), ndk=np.asarray(st.ndk),
+        np.savez(path, z=self.get_z_indicators(), ndk=np.asarray(st.ndk),
                  nkw=np.asarray(st.nkw), nk=np.asarray(st.nk),
                  phi=np.asarray(st.phi), alpha=np.asarray(st.alpha),
                  beta=np.asarray(st.beta),
@@ -218,7 +218,7 @@ class PoissonPolyaUrnHDPLDAInfiniteTopics(FusedPCGSSweepMixin,
         self.state = HDPState(
             key=jax.random.wrap_key_data(jnp.asarray(d["key"]),
                                          impl=self.config.prng_impl),
-            z=jnp.asarray(d["z"]), ndk=jnp.asarray(d["ndk"]),
+            z=self._load_z(d), ndk=jnp.asarray(d["ndk"]),
             nkw=jnp.asarray(d["nkw"]), nk=jnp.asarray(d["nk"]),
             phi=jnp.asarray(d["phi"]), theta=None,
             alpha=jnp.asarray(d["alpha"]), beta=jnp.asarray(d["beta"]),

@@ -137,6 +137,27 @@ def test_checkpoint_roundtrip(tmp_path, synthetic_corpus):
                                   m2.get_z_indicators())
 
 
+@pytest.mark.parametrize("scheme", ["ggs", "pcgs", "ppu_hdplda"])
+def test_checkpoint_z_is_layout_portable(tmp_path, synthetic_corpus,
+                                         scheme):
+    """Checkpoints store z in flat canonical token order, so a checkpoint
+    written under one internal layout (fused block layouts on TPU,
+    w_sorted for GGS, doc-major on CPU) loads under any other."""
+    m1 = _run(scheme, synthetic_corpus, iterations=4)
+    ckpt = str(tmp_path / "state.npz")
+    m1.save_checkpoint(ckpt)
+    d = np.load(ckpt)
+    assert d["z"].shape == (synthetic_corpus.num_tokens,)
+    np.testing.assert_array_equal(d["z"], m1.get_z_indicators())
+    m2 = create_model(m1.config)
+    m2.add_instances(synthetic_corpus)
+    m2.load_checkpoint(ckpt)
+    np.testing.assert_array_equal(m2.get_z_indicators(),
+                                  m1.get_z_indicators())
+    np.testing.assert_array_equal(np.asarray(m2.state.ndk),
+                                  np.asarray(m1.state.ndk))
+
+
 def test_set_z_indicators_rebuilds_counts(cats_corpus):
     model = _run("pcgs", cats_corpus, iterations=3)
     z = model.get_z_indicators()
