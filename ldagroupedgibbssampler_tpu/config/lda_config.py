@@ -132,7 +132,9 @@ class LDAConfig:
     paranoid: bool = False         # run count invariants every iteration
     scan_chunk: int = 1            # iterations fused per lax.scan chunk
     prng_impl: str = "rbg"         # "rbg" (fast on TPU) or "threefry2x32"
-    zdraw_kernel: str = "auto"     # GGS z-draw: "auto" | "fused" | "xla"
+    zdraw_kernel: str = "auto"     # z-draw: "auto" | "fused" | "xla"
+    #   | "interpret" (test-only: fused sweep kernels under the pltpu
+    #     interpreter on any backend; in-kernel PRNG lowers to zeros)
     zdraw_precise: bool = False    # fused kernel: bf16x2 tables + f32 cdf
 
     def replace(self, **kw) -> "LDAConfig":

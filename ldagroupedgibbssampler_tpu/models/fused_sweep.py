@@ -40,10 +40,18 @@ class FusedPCGSSweepMixin:
     fused_pcgs_eligible = True
 
     # -- gate ------------------------------------------------------------
+    def _fused_interpret(self) -> bool:
+        """Test-only: run the fused sweep under the pltpu interpreter on
+        any backend (zdraw_kernel="interpret"). The in-kernel PRNG lowers
+        to zeros there, so draws are degenerate — integration coverage of
+        the block layout / table wiring, not of the statistics."""
+        return self.config.zdraw_kernel == "interpret"
+
     def _use_fused_sweep(self) -> bool:
         return (self.fused_pcgs_eligible
                 and self.config.zdraw_kernel != "xla"
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu"
+                     or self._fused_interpret())
                 and self.corpus is not None
                 and fused_pcgs_vmem_bytes(self.corpus.num_docs,
                                           self.config.topics, _SEQ_DSPAN)
@@ -66,6 +74,21 @@ class FusedPCGSSweepMixin:
             self.swinb = jnp.asarray(b.win_w)
             self.sfirstb = jnp.asarray(b.first_w)
             self.swindc = jnp.asarray(b.win_d_chunks)
+            # block slot -> doc-major padded flat position, for the traced
+            # z-layout conversion in _blockify_z_state (runs under the
+            # jitted _init_state): canonical token i of doc d at in-doc
+            # offset p sits at d * Lmax + p in z_pad.reshape(-1)
+            off = corpus.doc_offsets
+            d_all = corpus.token_doc_ids()
+            lmax = (self.w_pad.shape[1] if hasattr(self, "w_pad")
+                    else int(np.max(np.diff(off)) or 1))
+            tok_pos = (np.arange(corpus.num_tokens, dtype=np.int64)
+                       - off[d_all]) + d_all.astype(np.int64) * lmax
+            fi = b.flat_index.reshape(-1)
+            self._blk_valid = jnp.asarray(fi >= 0)
+            self._blk_src = jnp.asarray(
+                np.where(fi >= 0, tok_pos[np.maximum(fi, 0)], 0),
+                dtype=jnp.int32)
 
     def _z_flat_to_blocks(self, z_flat: np.ndarray) -> np.ndarray:
         fi = self._sblocks.flat_index.reshape(self._sshape3)
@@ -75,13 +98,15 @@ class FusedPCGSSweepMixin:
         return z
 
     def _blockify_z_state(self, st):
-        """Convert a doc-major-z state to the block layout (host-side
-        scatter, init/import only). Concrete classes call this at the END
-        of their `_init_state`. Counts are layout-independent."""
+        """Convert a doc-major-z state to the block layout (traced gather
+        — runs under the jitted `_init_state`). Concrete classes call this
+        at the END of their `_init_state`. Counts are layout-independent."""
         if not self._use_fused_sweep():
             return st
-        z_flat = np.asarray(st.z)[np.asarray(self.mask_pad)]
-        return st._replace(z=jnp.asarray(self._z_flat_to_blocks(z_flat)))
+        z = jnp.where(self._blk_valid,
+                      st.z.reshape(-1)[self._blk_src],
+                      0).astype(jnp.int32).reshape(self._sshape3)
+        return st._replace(z=z)
 
     # -- sweep core --------------------------------------------------------
     def _kpad(self) -> int:
@@ -114,7 +139,8 @@ class FusedPCGSSweepMixin:
             self.swb, self.sdla, z_blocks, table, word_vk, seed,
             self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
             nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
-            dspan=_SEQ_DSPAN, num_topics=cfg.topics)
+            dspan=_SEQ_DSPAN, num_topics=cfg.topics,
+            interpret=self._fused_interpret())
         nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
         ndk_out = jnp.rint(
             table_out[: cfg.topics, : self.corpus.num_docs].T

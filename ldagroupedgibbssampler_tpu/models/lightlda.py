@@ -145,7 +145,8 @@ class LightPCLDA(UncollapsedParallelLDA):
             self.swb, self.sdla, state.z, table, tw, qw, seed,
             self.swinb, self.sfirstb, self.swindc,
             nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
-            dspan=128, num_topics=cfg.topics)
+            dspan=128, num_topics=cfg.topics,
+            interpret=self._fused_interpret())
         nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
         ndk = jnp.rint(
             table_out[: cfg.topics, : self.corpus.num_docs].T

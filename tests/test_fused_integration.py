@@ -1,0 +1,71 @@
+"""End-to-end integration of the fused sweep paths on CPU via
+zdraw_kernel="interpret" (the pltpu interpreter).
+
+The interpreter lowers the in-kernel PRNG to zeros, so the chains are
+statistically degenerate here — what these tests pin is the full model
+wiring around the kernels (block layout build, n_dk table construction,
+word-table orientation, count extraction, accessors, checkpoint) that
+only executes when the fused gate is on, i.e. exactly the code the
+CPU suite would otherwise never run. Statistical validation of the same
+paths: tests/test_pallas_pcgs.py / test_pallas_lightlda.py (injected
+uniforms) and benchmarks/tpu_pcgs_checks.py (real PRNG, on-chip).
+"""
+
+import numpy as np
+import pytest
+
+from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
+from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+from ldagroupedgibbssampler_tpu.models.registry import create_model
+
+
+def _tiny_corpus(seed=0, docs=30, vocab=120, max_len=30):
+    rng = np.random.default_rng(seed)
+    toks = [list(rng.integers(0, vocab, rng.integers(2, max_len)))
+            for _ in range(docs)]
+    return Corpus.from_token_lists(toks, [f"w{i}" for i in range(vocab)])
+
+
+@pytest.mark.parametrize("scheme", ["pcgs", "uncollapsed", "spalias",
+                                    "adlda", "ppu_hdplda", "lightpclda",
+                                    "lightcollapsed", "polyaurn"])
+def test_fused_path_end_to_end(scheme):
+    c = _tiny_corpus()
+    m = create_model(LDAConfig(scheme=scheme, topics=6, alpha=0.5,
+                               beta=0.1, seed=7, exec_time=-1,
+                               zdraw_kernel="interpret", token_block=512))
+    m.add_instances(c)
+    assert m._use_fused_sweep()
+    m.sample(2)
+    st = m.state
+    assert int(np.asarray(st.nkw).sum()) == c.num_tokens
+    assert int(np.asarray(st.ndk).sum()) == c.num_tokens
+    # z accessors roundtrip through the block layout
+    z = m.get_z_indicators()
+    assert z.shape == (c.num_tokens,)
+    ref_nkw = np.zeros((c.num_types, 6), np.int64)
+    np.add.at(ref_nkw, (c.tokens, z), 1)
+    nkw = np.asarray(m._nkw_kv())
+    assert np.array_equal(nkw.T.astype(np.int64), ref_nkw)
+    m.set_z_indicators(z)
+    np.testing.assert_array_equal(m.get_z_indicators(), z)
+
+
+def test_fused_checkpoint_roundtrip(tmp_path):
+    c = _tiny_corpus(1)
+    cfg = LDAConfig(scheme="pcgs", topics=5, alpha=0.5, beta=0.1, seed=3,
+                    exec_time=-1, zdraw_kernel="interpret", token_block=512)
+    m1 = create_model(cfg)
+    m1.add_instances(c)
+    m1.sample(2)
+    ckpt = str(tmp_path / "st.npz")
+    m1.save_checkpoint(ckpt)
+    # load into an XLA-path model: the flat-z checkpoint must port across
+    # the layout boundary
+    m2 = create_model(cfg.replace(zdraw_kernel="xla"))
+    m2.add_instances(c)
+    m2.load_checkpoint(ckpt)
+    np.testing.assert_array_equal(m2.get_z_indicators(),
+                                  m1.get_z_indicators())
+    np.testing.assert_array_equal(np.asarray(m2.state.ndk),
+                                  np.asarray(m1.state.ndk))
