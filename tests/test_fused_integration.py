@@ -28,7 +28,10 @@ def _tiny_corpus(seed=0, docs=30, vocab=120, max_len=30):
 
 @pytest.mark.parametrize("scheme", ["pcgs", "uncollapsed", "spalias",
                                     "adlda", "ppu_hdplda", "lightpclda",
-                                    "lightcollapsed", "polyaurn"])
+                                    "lightcollapsed", "polyaurn",
+                                    "nzvsspalias", "ppu_hlda",
+                                    "efficient_uncollapsed",
+                                    "lightpcldaw2"])
 def test_fused_path_end_to_end(scheme):
     c = _tiny_corpus()
     m = create_model(LDAConfig(scheme=scheme, topics=6, alpha=0.5,
