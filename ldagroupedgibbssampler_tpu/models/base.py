@@ -600,6 +600,18 @@ class TpuLDASampler:
         if not bool(jnp.all(jnp.abs(phi_sums - 1.0) < 1e-3)):
             raise AssertionError("paranoid: phi rows not normalised "
                                  "(ensureConsistentPhi)")
+        # recount N_kw from z (ensureConsistentTopicTypeCounts proper,
+        # UncollapsedParallelLDA.java:299-338): catches any kernel/layout
+        # drift between the z array and the count matrices
+        z = self.get_z_indicators()
+        ref = np.zeros((self.corpus.num_types, self.config.topics),
+                       np.int64)
+        np.add.at(ref, (self.corpus.tokens, z), 1)
+        if not np.array_equal(
+                np.asarray(self._nkw_kv(st)).T.astype(np.int64), ref):
+            raise AssertionError(
+                "paranoid: N_kw does not match a recount of z "
+                f"(iteration {int(st.iteration)})")
 
     def _held_out_log_likelihood(self) -> float:
         from ldagroupedgibbssampler_tpu.evaluation.marginal import (
