@@ -58,9 +58,12 @@ _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
 def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
                   w_ref, d_ref, zo_ref, win_d_ref, th_ref, ph_ref,
-                  tril_ref, z_out, nkw_out, *scratch,
+                  tril_ref, *rest,
                   vspan, dspan, kpad, num_topics, chunks, chunk, precise,
-                  stream_theta):
+                  stream_theta, u24_operand):
+    rest = list(rest)
+    u24_ref = rest.pop(0) if u24_operand else None
+    z_out, nkw_out, *scratch = rest
     # win_d_ref is a regular SMEM-blocked input ([1, chunks] per block), NOT
     # a scalar-prefetch operand: one int32 per chunk is ~1M entries at
     # NYTimes scale (100M tokens) and would overflow the 1 MB SMEM if the
@@ -100,9 +103,15 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
     tril = tril_ref[:, :]
     ntile = kpad // 128
 
-    bits = pltpu.bitcast(pltpu.prng_random_bits((chunks, chunk)), jnp.uint32)
-    u24s = pltpu.bitcast(
-        jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
+    if u24_operand:
+        # injected 24-bit uniforms (interpreter path: InterpretParams
+        # lowers the in-kernel PRNG to zeros)
+        u24s = u24_ref[0]
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((chunks, chunk)),
+                             jnp.uint32)
+        u24s = pltpu.bitcast(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
     acc = jnp.zeros((vspan, kpad), jnp.float32)
     for c in range(chunks):
         wrow = w_ref[0, c, :]
@@ -163,10 +172,12 @@ def _split_hi_lo(x):
 
 @functools.partial(
     jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
-                              "num_topics", "precise", "stream_theta"))
+                              "num_topics", "precise", "stream_theta",
+                              "interpret"))
 def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
-                    win_d_chunks, *, nwin_w, nwin_d, vspan, dspan,
-                    num_topics, precise=False, stream_theta=False):
+                    win_d_chunks, u24=None, *, nwin_w, nwin_d, vspan, dspan,
+                    num_topics, precise=False, stream_theta=False,
+                    interpret=False):
     """Draw z for every token and accumulate N_kw in one fused pass.
 
     w3 / d3 / z_old: int32 [NB, chunks, chunk] cell-block token rows
@@ -178,6 +189,9 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
     stream_theta: keep the theta table in HBM and DMA each chunk's
         [krows, dspan] d-window into a double-buffered VMEM scratch —
         removes the VMEM-residency gate on K*D (large K / NYTimes-scale D).
+    u24: optional int32 [NB, chunks, chunk] of 24-bit uniforms in
+        [0, 2^24); replaces the in-kernel PRNG (which InterpretParams
+        cannot lower) — the off-TPU test path.
 
     Returns (z [NB, chunks, chunk] int32, nkw [nwin_w * vspan, K] int32).
     """
@@ -205,9 +219,16 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                   ).reshape(nb, wd_rows, 128)
     cdf_dtype = jnp.float32 if precise else jnp.bfloat16
     tril_op = jnp.tril(jnp.ones((128, 128), cdf_dtype))
-    th_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream_theta
+    th_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_theta
                else pl.BlockSpec((krows, dpad), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM))
+    u24_specs, u24_ops = [], []
+    if u24 is not None:
+        assert u24.shape == (nb, chunks, chunk)
+        u24_specs = [pl.BlockSpec((1, chunks, chunk),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        u24_ops = [u24]
     scratch_shapes = ([pltpu.VMEM((2, krows, dspan), th.dtype),
                        pltpu.SemaphoreType.DMA((2,))] if stream_theta
                       else [])
@@ -229,6 +250,7 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
+            *u24_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, chunks, chunk),
@@ -243,13 +265,15 @@ def fused_zdraw_nkw(w3, d3, z_old, theta_dk, phi_vk, seed, win_w, first_w,
         functools.partial(
             _zdraw_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
             num_topics=num_topics, chunks=chunks, chunk=chunk,
-            precise=precise, stream_theta=stream_theta),
+            precise=precise, stream_theta=stream_theta,
+            u24_operand=u24 is not None),
         out_shape=[
             jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
             jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
         ],
         grid_spec=grid_spec,
-    )(seed, win_w, first_w, w3, d3, z_old, wd3, th, ph, tril_op)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, win_w, first_w, w3, d3, z_old, wd3, th, ph, tril_op, *u24_ops)
     return z, nkw[:, :num_topics].astype(jnp.int32)
 
 

@@ -1,24 +1,19 @@
-"""Tests for the fused z-draw kernel's layout contract and fallback.
-
-The kernel itself needs TPU hardware (Mosaic); its statistical and exact
-gather-correctness validation runs on-chip via
-benchmarks/tpu_kernel_checks.py (executed on the real chip; results in
-PERF.md). What CAN be validated portably:
-
-  - the layout-A doc-side metadata (d_local_a / win_d_chunks) added for the
-    kernel reconstructs every token's global doc id, with sentinels on pads;
-  - on non-TPU backends the GGS step must select the XLA fallback;
-  - zdraw_kernel="fused" off-TPU raises, "xla" is always honoured.
+"""Tests for the fused z-draw kernel: layout contract, fallback gating,
+and portable statistical validation under the pltpu interpreter with
+injected uniforms (the in-kernel PRNG only lowers on real TPU; on-chip
+validation with the real PRNG is benchmarks/tpu_kernel_checks.py).
 """
 
 import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
 from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
 from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
+from ldagroupedgibbssampler_tpu.ops.pallas_zdraw import fused_zdraw_nkw
 
 
 def _rand_corpus(seed=0, docs=90, vocab=700):
@@ -73,6 +68,77 @@ def test_zdraw_kernel_xla_forced():
                   seed=3, exec_time=-1, zdraw_kernel="xla"))
     model.add_instances(corpus)
     assert not model._use_fused_zdraw()
+
+
+def _run_zdraw(c, K, z_flat, theta, phi, seed=11, precise=False,
+               stream=False):
+    b = c.cell_blocks(block=512, vspan=128, dspan=128, chunk=128)
+    nb = b.w_local.shape[0]
+    chunks = b.w_local.shape[1] // b.chunk
+    sh3 = (nb, chunks, b.chunk)
+    fi3 = b.flat_index.reshape(sh3)
+    z_old = np.zeros(sh3, np.int32)
+    z_old[fi3 >= 0] = z_flat[fi3[fi3 >= 0]]
+    u24 = np.random.default_rng(seed).integers(
+        0, 2 ** 24, sh3, dtype=np.int64).astype(np.int32)
+    z, nkw = fused_zdraw_nkw(
+        jnp.asarray(b.w_local.reshape(sh3)),
+        jnp.asarray(b.d_local_a.reshape(sh3)), jnp.asarray(z_old),
+        jnp.asarray(theta), jnp.asarray(phi),
+        jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w),
+        jnp.asarray(b.first_w), jnp.asarray(b.win_d_chunks),
+        jnp.asarray(u24), nwin_w=b.nwin_w, nwin_d=b.nwin_d,
+        vspan=128, dspan=128, num_topics=K, precise=precise,
+        stream_theta=stream, interpret=jax.default_backend() != "tpu")
+    z_out = np.zeros(c.num_tokens, np.int32)
+    z_out[fi3[fi3 >= 0]] = np.asarray(z)[fi3 >= 0]
+    return z_out, np.asarray(nkw)
+
+
+@pytest.mark.parametrize("precise,stream", [(False, False), (True, False),
+                                            (False, True)])
+def test_zdraw_kernel_semantics_interpret(precise, stream):
+    """One-hot theta forces planted topics; zeroed-theta docs keep z;
+    N_kw matches a histogram of the returned z — the interpreter run of
+    the on-chip checks (benchmarks/tpu_kernel_checks.py tests 1-2)."""
+    rng = np.random.default_rng(0)
+    D, V, K = 90, 400, 13
+    c = Corpus.from_token_lists(
+        [list(rng.integers(0, V, rng.integers(3, 60))) for _ in range(D)],
+        [f"w{i}" for i in range(V)])
+    doc_topic = (np.arange(D) % K).astype(np.int32)
+    theta = np.zeros((D, K), np.float32)
+    theta[np.arange(D), doc_topic] = 1.0
+    theta[::5] = 0.0  # random-scan: unselected docs
+    phi = np.full((V, K), 1.0 / V, np.float32)
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    z_out, nkw = _run_zdraw(c, K, z_flat, theta, phi, precise=precise,
+                            stream=stream)
+    dall = c.token_doc_ids()
+    sel = (dall % 5) != 0
+    assert np.array_equal(z_out[sel], doc_topic[dall][sel])
+    assert np.array_equal(z_out[~sel], z_flat[~sel])
+    ref = np.zeros((V, K), np.int64)
+    np.add.at(ref, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref)
+
+
+def test_zdraw_kernel_distribution_interpret():
+    """Chi-square of the kernel's draws against the exact conditional
+    theta_d[k] * phi[k][w] (single-token docs, identical rows)."""
+    from scipy import stats as sps
+    D, K = 6000, 5
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    theta = np.tile(np.array([0.1, 0.3, 0.05, 0.35, 0.2], np.float32),
+                    (D, 1))
+    phi = np.array([[0.5, 0.1, 0.3, 0.05, 0.05],
+                    [0.5, 0.9, 0.7, 0.95, 0.95]], np.float32)
+    p = theta[0] * phi[0]
+    p = p / p.sum()
+    z_out, _ = _run_zdraw(c, K, np.zeros(D, np.int32), theta, phi, seed=23)
+    obs = np.bincount(z_out, minlength=K).astype(np.float64)
+    chi2 = float(((obs - p * D) ** 2 / (p * D)).sum())
+    assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
 
 
 def test_xla_fallback_segmentation_invariant(monkeypatch):
