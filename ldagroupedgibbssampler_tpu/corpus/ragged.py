@@ -579,6 +579,12 @@ def build_cell_blocks_seq(tokens, doc_ids_all, num_types, num_docs, *,
     over the XLA sweep's per-position row gathers. Layout B fields are
     built identically (valid, though the fused PCGS path does not use
     them: the kernel's resident table carries n_dk out directly).
+
+    Unlike `build_cell_blocks` this builder has no native C++ fast path
+    yet: the fused-PCGS VMEM gate (~10 MB n_dk table) limits it to
+    corpora whose numpy build time is seconds, so the 100M-token corpora
+    where the native path matters never reach this layout. Revisit if
+    the gate widens (e.g. HBM-streamed tables).
     """
     assert block % chunk == 0
     assert dspan <= chunk, "a rank group must fit one chunk per d-window"

@@ -60,7 +60,6 @@ class FusedPCGSSweepMixin:
     # -- device data -------------------------------------------------------
     def _prepare_device_data(self, corpus):
         super()._prepare_device_data(corpus)
-        self.corpus = corpus  # the gate needs it before add_instances sets it
         if self._use_fused_sweep():
             b = corpus.cell_blocks_seq(block=self.config.token_block,
                                        vspan=self.config.vocab_span,
@@ -123,6 +122,18 @@ class FusedPCGSSweepMixin:
             (ndk.astype(jnp.float32) + alpha[None, :]).T)
         return table.at[kpad, :d].set(doc_mask.astype(jnp.float32))
 
+    def _fused_seed(self, k_z):
+        return jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
+                                  jnp.int32)
+
+    def _fused_extract(self, nkw_vk, table_out, alpha):
+        """Kernel outputs -> (ndk int32 [D, K], nkw int32 [K, V])."""
+        nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
+        ndk = jnp.rint(
+            table_out[: self.config.topics, : self.corpus.num_docs].T
+            - alpha[None, :]).astype(jnp.int32)
+        return ndk, nkw
+
     def _fused_zsweep(self, k_z, z_blocks, ndk, alpha, word_vk, doc_mask,
                       nk_plus=None):
         """One fused Gibbs sweep. Returns (z_blocks', ndk' int32 [D, K],
@@ -131,20 +142,16 @@ class FusedPCGSSweepMixin:
         [V, K] (PCGS/HDP) or the stale (beta + N_kw).T with `nk_plus` =
         (V beta + n_k) for the collapsed ADLDA conditional."""
         cfg = self.config
-        seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
-                                  jnp.int32)
-        table = self._ndk_table(ndk, alpha, doc_mask)
         b = self._sblocks
         z, nkw_vk, table_out = fused_pcgs_sweep(
-            self.swb, self.sdla, z_blocks, table, word_vk, seed,
+            self.swb, self.sdla, z_blocks,
+            self._ndk_table(ndk, alpha, doc_mask), word_vk,
+            self._fused_seed(k_z),
             self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
             nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
             dspan=_SEQ_DSPAN, num_topics=cfg.topics,
             interpret=self._fused_interpret())
-        nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
-        ndk_out = jnp.rint(
-            table_out[: cfg.topics, : self.corpus.num_docs].T
-            - alpha[None, :]).astype(jnp.int32)
+        ndk_out, nkw = self._fused_extract(nkw_vk, table_out, alpha)
         return z, ndk_out, nkw
 
     # -- layout-aware accessors (block-layout z when the path is on) -------

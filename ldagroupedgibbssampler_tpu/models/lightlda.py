@@ -133,24 +133,21 @@ class LightPCLDA(UncollapsedParallelLDA):
         return state.phi.T, state.phi.T
 
     def _fused_mh(self, k_z, state, doc_mask):
+        from ldagroupedgibbssampler_tpu.models.fused_sweep import _SEQ_DSPAN
         from ldagroupedgibbssampler_tpu.ops.pallas_lightlda import (
             fused_lightlda_sweep)
         cfg = self.config
         tw, qw = self._target_and_proposal_linear(state)
-        seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
-                                  jnp.int32)
-        table = self._ndk_table(state.ndk, state.alpha, doc_mask)
         b = self._sblocks
         z, nkw_vk, table_out = fused_lightlda_sweep(
-            self.swb, self.sdla, state.z, table, tw, qw, seed,
+            self.swb, self.sdla, state.z,
+            self._ndk_table(state.ndk, state.alpha, doc_mask), tw, qw,
+            self._fused_seed(k_z),
             self.swinb, self.sfirstb, self.swindc,
             nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
-            dspan=128, num_topics=cfg.topics,
+            dspan=_SEQ_DSPAN, num_topics=cfg.topics,
             interpret=self._fused_interpret())
-        nkw = nkw_vk[: self.corpus.num_types].T            # [K, V]
-        ndk = jnp.rint(
-            table_out[: cfg.topics, : self.corpus.num_docs].T
-            - state.alpha[None, :]).astype(jnp.int32)
+        ndk, nkw = self._fused_extract(nkw_vk, table_out, state.alpha)
         return z, ndk, nkw
 
     def _step(self, state: LDAState, doc_mask, type_mask) -> LDAState:

@@ -68,12 +68,16 @@ class UncollapsedParallelLDA(FusedPCGSSweepMixin, TpuLDASampler):
               type_mask) -> LDAState:
         cfg = self.config
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
+        word_weights_t, self_corr = self._word_weights_t(state)
         if self._use_fused_sweep():
+            # single source of truth for the word term: the same
+            # _word_weights_t hook the XLA branch uses (self-correcting
+            # conditionals route through ADLDA's own fused branch)
+            assert self_corr is None
             z, ndk, nkw = self._fused_zsweep(k_z, state.z, state.ndk,
-                                             state.alpha, state.phi.T,
+                                             state.alpha, word_weights_t,
                                              doc_mask)
         else:
-            word_weights_t, self_corr = self._word_weights_t(state)
             ndk, z = doc_sequential_sweep(
                 k_z, self.w_pad, self.mask_pad, state.z, state.ndk,
                 word_weights_t, state.alpha, doc_mask,

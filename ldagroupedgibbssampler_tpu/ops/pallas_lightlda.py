@@ -13,19 +13,18 @@ doc-proposal mixing; CollapsedLightLDA.java:946-1005):
   step 1 (word proposal):  k1 ~ q_w(k) ∝ qw[k][w]  (tril cumsum draw);
       accept w.p. min(1, nd[k1] tw[k1] qw[z] / (nd[z] tw[z] qw[k1]))
       where nd = n_dk^{-i} + alpha_k and tw is the scheme's word term.
-  step 2 (doc proposal):   k2 ~ q_d(k) ∝ nd[k]     (tril cumsum draw);
-      q_d cancels the doc part of the target exactly, leaving
-      accept w.p. min(1, tw[k2] / tw[z1]).
+  step 2 (doc proposal):   k2 ~ q_d(k) ∝ bf16(nd[k])  (tril cumsum draw);
+      accept w.p. min(1, nd[k2] tw[k2] ndq[z1] / (nd[z1] tw[z1] ndq[k2]))
+      with ndq = bf16(nd) — the SAME quantised values the draw used, so
+      the proposal correction stays exact even where bf16 rounds nd.
 
-The doc proposal is drawn DIRECTLY from n_dk^{-i} + alpha — the exact
-distribution the reference's uniform-token/alpha mixture approximates
-(LightPCLDA's trick exists to make a scalar-CPU draw O(1); the XLA path
-keeps the mixture form, this kernel draws q_d exactly so the acceptance
-cancellation is exact). Target/proposal word tables are bf16-quantised
-once per sweep; draws and acceptance ratios use the SAME quantised values
-(one-hot selects of the bf16 tables), so the chain is a valid MH sampler
-for the quantised-target model — the same quantisation the fused GGS/PCGS
-kernels apply to phi.
+The doc proposal is drawn directly from (a bf16 rounding of)
+n_dk^{-i} + alpha — the distribution the reference's uniform-token/alpha
+mixture approximates (LightPCLDA's trick exists to make a scalar-CPU
+draw O(1); the XLA path keeps the mixture form). Every quantity a draw
+uses reappears identically in its acceptance ratio (one-hot selects of
+the same bf16 tables / the same bf16-rounded nd), so the chain is a
+valid MH sampler for the quantised-word-table target.
 
 N_kw accumulates in w-window-major blocks exactly like the PCGS kernel
 (zeroed on first_w) — for the PC variants it feeds phi ~ Dir(beta + N_kw);
@@ -53,13 +52,16 @@ def _mh_kernel(seed_ref, win_w_ref, first_w_ref,
                u24_operand):
     rest = list(rest)
     u24_ref = rest.pop(0) if u24_operand else None
-    ndk_in_ref, z_out, nkw_out, ndk_ref = rest
+    ndk_in_ref, z_out, nkw_out, ndk_ref, dma_sem = rest
+    # table input stays in HBM; one VMEM copy (the output block) resident
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
 
     @pl.when(i == 0)
     def _():
-        ndk_ref[:] = ndk_in_ref[:]
+        cp = pltpu.make_async_copy(ndk_in_ref, ndk_ref, dma_sem)
+        cp.start()
+        cp.wait()
 
     @pl.when(first_w_ref[i] == 1)
     def _():
@@ -104,8 +106,7 @@ def _mh_kernel(seed_ref, win_w_ref, first_w_ref,
                          preferred_element_type=jnp.float32)
 
         # ---- MH step 1: word proposal ----
-        k1, totq = cdf_draw(tril, qw.astype(jnp.bfloat16), u24s[4 * c],
-                            num_topics)
+        k1, totq = cdf_draw(tril, qw.astype(jnp.bfloat16), u24s[4 * c])
         oh_k1 = (iota_k == k1[None, :]).astype(jnp.float32)
         nd_z = jnp.sum(nd * oh_zold, axis=0)
         nd_1 = jnp.sum(nd * oh_k1, axis=0)
@@ -114,17 +115,31 @@ def _mh_kernel(seed_ref, win_w_ref, first_w_ref,
         qw_z = jnp.sum(qw * oh_zold, axis=0)
         qw_1 = jnp.sum(qw * oh_k1, axis=0)
         u1 = u24s[4 * c + 1].astype(jnp.float32) * inv24
-        acc1 = u1 * (nd_z * tw_z * qw_1) < nd_1 * tw_1 * qw_z
-        z1 = jnp.where(acc1 & (totq > 0), k1, zold)
-        tw_z1 = jnp.where(acc1 & (totq > 0), tw_1, tw_z)
+        take1 = (u1 * (nd_z * tw_z * qw_1) < nd_1 * tw_1 * qw_z) \
+            & (totq > 0)
+        z1 = jnp.where(take1, k1, zold)
+        tw_z1 = jnp.where(take1, tw_1, tw_z)
+        nd_z1 = jnp.where(take1, nd_1, nd_z)
 
-        # ---- MH step 2: doc proposal (exact q_d ∝ n^{-i} + alpha) ----
-        k2, totd = cdf_draw(tril, nd.astype(jnp.bfloat16), u24s[4 * c + 2],
-                            num_topics)
+        # ---- MH step 2: doc proposal q_d ∝ bf16(n^{-i} + alpha) ----
+        # The draw quantises nd to bf16 (the cumsum's dtype), so the
+        # acceptance must use the SAME quantised values for the proposal
+        # ratio — only the target's doc part cancels against q_d exactly
+        # when both are the quantised table:
+        #   A2 = nd[k2] tw[k2] ndq[z1] / (nd[z1] tw[z1] ndq[k2])
+        ndq16 = nd.astype(jnp.bfloat16)
+        ndq = ndq16.astype(jnp.float32)
+        ndq_z = jnp.sum(ndq * oh_zold, axis=0)
+        ndq_1 = jnp.sum(ndq * oh_k1, axis=0)
+        ndq_z1 = jnp.where(take1, ndq_1, ndq_z)
+        k2, totd = cdf_draw(tril, ndq16, u24s[4 * c + 2])
         oh_k2 = (iota_k == k2[None, :]).astype(jnp.float32)
         tw_2 = jnp.sum(tw * oh_k2, axis=0)
+        nd_2 = jnp.sum(nd * oh_k2, axis=0)
+        ndq_2 = jnp.sum(ndq * oh_k2, axis=0)
         u2 = u24s[4 * c + 3].astype(jnp.float32) * inv24
-        z2 = jnp.where((u2 * tw_z1 < tw_2) & (totd > 0), k2, z1)
+        z2 = jnp.where((u2 * (nd_z1 * tw_z1 * ndq_2)
+                        < nd_2 * tw_2 * ndq_z1) & (totd > 0), k2, z1)
 
         zout = jnp.where(flag > 0.5, z2, zold)
         z_out[0, c, :] = zout
@@ -207,8 +222,7 @@ def fused_lightlda_sweep(w3, d3, z_old, ndk_table, tw_vk, qw_vk, seed,
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             *u24_specs,
-            pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # table input stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, chunks, chunk),
@@ -219,6 +233,7 @@ def fused_lightlda_sweep(w3, d3, z_old, ndk_table, tw_vk, qw_vk, seed,
             pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     ndk_idx = 10 + len(u24_ops)
     z, nkw, table = pl.pallas_call(

@@ -50,14 +50,23 @@ _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 FLAG_ROWS = 8  # extra table rows; row kpad = doc-mask flag, rest zero
 
 
-def cdf_draw(tril, probs, u24, num_topics):
+def cdf_draw(tril, probs, u24):
     """Tiled inverse-CDF categorical draw over the topic axis.
 
     probs: bf16 [kpad, chunk] unnormalised masses (rows >= num_topics must
     be zero). u24: int32 [chunk] uniforms in [0, 2^24). The cumsum runs as
     per-128-row tril matmuls with running offsets folded into the
-    threshold (O(kpad*128) MXU work). Returns (z int32 [chunk] clamped to
-    num_topics-1, total f32 [chunk]).
+    threshold (O(kpad*128) MXU work). Returns (z int32 [chunk], total f32
+    [chunk]).
+
+    z = #{k : cdf_k <= u} clamped to the LAST NONZERO topic, not to
+    num_topics-1: when u*total rounds up to total in f32 the raw count
+    overshoots into the zero tail, and a plain K-1 clamp would assign a
+    zero-probability topic (breaking the exact-zero-support guarantee the
+    Polya-Urn/VS samplers rely on). The last nonzero index is
+    #{(t, r) : tiles[t][r] + offs[t] < total} — exact in f32 because each
+    cumsum entry plus its running offset reproduces total by the same add
+    order for every zero-tail row.
     """
     kpad, chunk = probs.shape
     ntile = kpad // 128
@@ -71,11 +80,15 @@ def cdf_draw(tril, probs, u24, num_topics):
         total = total + tiles[t][127, :]
     u = u24.astype(jnp.float32) * jnp.float32(2 ** -24) * total
     cnt = jnp.zeros((chunk,), jnp.int32)
+    lastnz = jnp.zeros((chunk,), jnp.int32)
     for t in range(ntile):
         cnt = cnt + jnp.sum(
             (tiles[t] <= (u - offs[t])[None, :]).astype(jnp.int32),
             axis=0)
-    return jnp.minimum(cnt, num_topics - 1), total
+        lastnz = lastnz + jnp.sum(
+            ((tiles[t] + offs[t][None, :]) < total[None, :]
+             ).astype(jnp.int32), axis=0)
+    return jnp.minimum(cnt, lastnz), total
 
 
 def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
@@ -85,17 +98,20 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
     rest = list(rest)
     nkc_ref = rest.pop(0) if collapsed else None
     u24_ref = rest.pop(0) if u24_operand else None
-    ndk_in_ref, z_out, nkw_out, ndk_ref = rest
-    # ndk_in_ref aliases ndk_ref at the HBM level (input_output_aliases),
-    # but input and output have separate resident VMEM blocks: seed the
-    # output block from the input once, then all reads and writes go
-    # through the output ref so updates are chunk-sequential.
+    ndk_in_ref, z_out, nkw_out, ndk_ref, dma_sem = rest
+    # ndk_in_ref aliases ndk_ref at the HBM level (input_output_aliases)
+    # and stays in HBM (ANY): only ONE VMEM copy of the table is resident
+    # (the output block, held across the whole grid). Seed it from HBM
+    # once; afterwards all reads and writes go through the output ref so
+    # updates are chunk-sequential.
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
 
     @pl.when(i == 0)
     def _():
-        ndk_ref[:] = ndk_in_ref[:]
+        cp = pltpu.make_async_copy(ndk_in_ref, ndk_ref, dma_sem)
+        cp.start()
+        cp.wait()
 
     @pl.when(first_w_ref[i] == 1)
     def _():
@@ -149,7 +165,7 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
             ph = jax.lax.dot(ph_ref[:, :], oh_w,
                              preferred_element_type=jnp.float32)
             probs = (nd * ph).astype(jnp.bfloat16)         # [kpad, chunk]
-        znew, total = cdf_draw(tril, probs, u24s[c], num_topics)
+        znew, total = cdf_draw(tril, probs, u24s[c])
         zout = jnp.where((flag > 0.5) & (total > 0), znew, zold)
         z_out[0, c, :] = zout
 
@@ -250,8 +266,7 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
                          memory_space=pltpu.VMEM),
             *nkc_specs,
             *u24_specs,
-            pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # table input stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, chunks, chunk),
@@ -262,6 +277,7 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
             pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     ndk_idx = 9 + len(nkc_ops) + len(u24_ops)
     z, nkw, table = pl.pallas_call(

@@ -77,10 +77,14 @@ def test_mh_count_semantics():
 def _mh_oracle(z0, nd, tw_w, qw_w):
     """Exact distribution of z2 after one two-step MH transition from z0
     with fixed nd (= n^{-i}+alpha), word target column tw_w, proposal
-    column qw_w — enumerating all (k1, accept, k2, accept) paths."""
+    column qw_w — enumerating all (k1, accept, k2, accept) paths. The doc
+    proposal draws from ndq = bf16(nd) and its acceptance uses ndq for the
+    proposal ratio and nd for the target, matching the kernel."""
     K = len(nd)
+    ndq = np.asarray(jnp.asarray(nd, jnp.float32).astype(jnp.bfloat16),
+                     np.float64)
     q1 = qw_w / qw_w.sum()
-    qd = nd / nd.sum()
+    qd = ndq / ndq.sum()
     p1 = np.zeros(K)  # distribution of z1
     for k1 in range(K):
         a1 = min(1.0, (nd[k1] * tw_w[k1] * qw_w[z0])
@@ -92,13 +96,19 @@ def _mh_oracle(z0, nd, tw_w, qw_w):
         if p1[z1] == 0:
             continue
         for k2 in range(K):
-            a2 = min(1.0, tw_w[k2] / tw_w[z1])
+            a2 = min(1.0, (nd[k2] * tw_w[k2] * ndq[z1])
+                     / (nd[z1] * tw_w[z1] * ndq[k2]))
             p2[k2] += p1[z1] * qd[k2] * a2
             p2[z1] += p1[z1] * qd[k2] * (1 - a2)
     return p2
 
 
-def test_mh_transition_distribution():
+@pytest.mark.parametrize("alpha_row", [
+    [0.5, 1.0, 2.0, 0.25, 1.25],   # bf16-exact alphas (ndq == nd)
+    [0.1, 0.3, 0.7, 0.11, 0.23],   # non-bf16-exact: exercises the
+                                   # quantised doc-proposal correction
+])
+def test_mh_transition_distribution(alpha_row):
     """Chi-square of the kernel's one-sweep draws for single-token docs
     against the exactly enumerated two-step MH transition distribution
     (bf16-quantised tables, as the kernel uses)."""
@@ -106,7 +116,7 @@ def test_mh_transition_distribution():
     D, K = 8000, 5
     c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
     z_flat = np.zeros(D, np.int32)
-    alpha = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
+    alpha = np.array(alpha_row, np.float32)
     tw = np.array([[0.5, 0.1, 0.3, 0.05, 0.05],
                    [0.1, 0.4, 0.1, 0.2, 0.2]], np.float32)   # [V=2, K]
     qw = np.array([[0.2, 0.3, 0.1, 0.25, 0.15],
