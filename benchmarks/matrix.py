@@ -261,7 +261,9 @@ def main(argv=None):
     for key, scheme, kk in (("7_spalias_20ng_k100", "spalias", 100),
                             ("8_adlda_20ng_k100", "adlda", 100),
                             ("9_lightpclda_20ng_k1000", "lightpclda",
-                             1000)):
+                             1000),
+                            ("9b_lightpclda_20ng_k100", "lightpclda",
+                             100)):
         if want(key):
             cfgx = LDAConfig(scheme=scheme, topics=kk,
                              alpha=0.5 if kk <= 100 else 0.05, beta=0.01,
