@@ -139,6 +139,72 @@ for scheme in ("pcgs", "adlda", "lightpclda"):
     assert gap < 0.01, (scheme, lls, gap)
     print(f"4. {scheme} fused vs XLA final-LL gap: {gap:.4%} — ok")
 
+# ---- 4b. HBM-streamed variant: count semantics + chi-square + perf ------
+from ldagroupedgibbssampler_tpu.corpus.ragged import build_stream_blocks_seq
+from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+    fused_pcgs_sweep_streamed)
+
+
+def run_stream(c_, K_, z_flat_, doc_mask_, phi_, alpha_, seed_):
+    b = build_stream_blocks_seq(c_.tokens, c_.token_doc_ids(),
+                                c_.num_types, c_.num_docs, block=2048,
+                                vspan=128, dspan=128, chunk=128)
+    nb = b.w_local.shape[0]
+    chunks = b.w_local.shape[1] // b.chunk
+    sh3 = (nb, chunks, b.chunk)
+    fi3 = b.flat_index.reshape(sh3)
+    z_old = np.zeros(sh3, np.int32)
+    z_old[fi3 >= 0] = z_flat_[fi3[fi3 >= 0]]
+    ndk = np.zeros((c_.num_docs, K_), np.int64)
+    np.add.at(ndk, (c_.token_doc_ids(), z_flat_), 1)
+    kpad = max(128, -(-K_ // 128) * 128)
+    table = np.zeros((kpad + FLAG_ROWS, b.nwin_d * 128), np.float32)
+    table[:K_, :c_.num_docs] = (ndk + alpha_).T
+    table[kpad, :c_.num_docs] = doc_mask_
+    import time
+    args = (jnp.asarray(b.w_local.reshape(sh3)),
+            jnp.asarray(b.d_local.reshape(sh3)),
+            jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(phi_),
+            jnp.asarray([seed_], jnp.int32), jnp.asarray(b.win_w_chunks),
+            jnp.asarray(b.win_d_chunks))
+    kw = dict(nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
+              num_topics=K_)
+    z, nkw_, t_ = fused_pcgs_sweep_streamed(*args, **kw)
+    np.asarray(z)
+    t0 = time.perf_counter()
+    for s in range(5):
+        z, nkw_, t_ = fused_pcgs_sweep_streamed(
+            args[0], args[1], z, t_, args[4],
+            jnp.asarray([seed_ + 1 + s], jnp.int32), args[6], args[7],
+            **kw)
+    np.asarray(z)
+    dt = (time.perf_counter() - t0) / 5
+    z_out = np.zeros(c_.num_tokens, np.int32)
+    z_out[fi3[fi3 >= 0]] = np.asarray(z)[fi3 >= 0]
+    return z_out, np.asarray(nkw_), np.asarray(t_), dt
+
+
+for Ks in (25, 1000):
+    zs, nkws, ts, dt = run_stream(c, Ks, rng.integers(
+        0, Ks, c.num_tokens).astype(np.int32), doc_mask,
+        rng.dirichlet(np.full(V, 0.05), Ks).T.astype(np.float32),
+        np.full(Ks, 0.4, np.float32), 99)
+    refs = np.zeros((V, Ks), np.int64)
+    np.add.at(refs, (c.tokens, zs), 1)
+    assert np.array_equal(nkws[:V].astype(np.int64), refs)
+    refd = np.zeros((D, Ks), np.int64)
+    np.add.at(refd, (dall, zs), 1)
+    assert np.allclose(ts[:Ks, :D].T - 0.4, refd, atol=1e-3)
+    print(f"4b. streamed K={Ks}: counts ok after 6 sweeps; "
+          f"{c.num_tokens / dt / 1e6:.1f}M tokens/s (tiny corpus)")
+zd2, _, _, _ = run_stream(cd, Kd, np.zeros(Dd, np.int32),
+                          np.ones(Dd, np.float32), phid, alphad, 31)
+obs2 = np.bincount(zd2, minlength=Kd).astype(np.float64)
+chi2b = float(((obs2 - p * Dd) ** 2 / (p * Dd)).sum())
+assert sps.chi2.sf(chi2b, Kd - 1) > 1e-4, (obs2, p * Dd)
+print(f"4b. streamed chi-square vs exact conditional: ok "
+      f"(chi2={chi2b:.1f})")
+
 # ---- 5. HDP rides the fused sweep: fused vs XLA agreement ----------------
 act = {}
 for kern in ("fused", "xla"):

@@ -697,3 +697,115 @@ def build_cell_blocks_seq(tokens, doc_ids_all, num_types, num_docs, *,
         first_d=first_d,
         vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
         chunk=chunk)
+
+
+@dataclass
+class StreamBlocks:
+    """Sequential-safe d-window-major token blocks for the STREAMED fused
+    PCGS sweep (ops/pallas_pcgs.py::fused_pcgs_sweep with stream_table):
+    tokens sorted by (d-window, w-window, occurrence-rank, doc), cells
+    padded per chunk only — no per-window block alignment, so the slot
+    overhead equals the plain seq layout's (~3.35x at 20NG spans). In this
+    order each d-window's chunks are CONTIGUOUS: the kernel keeps one
+    [kpad+8, dspan] slice of the n_dk table in VMEM, writing it back to
+    HBM only on the (rare) d-window changes, which removes the VMEM
+    residency gate on K x D entirely. The w-window of consecutive chunks
+    changes more often (once per nonempty (dw, ww) pair); the phi window
+    streams read-only. N_kw is NOT accumulated in-kernel here — z is
+    translated to the w-major seq layout by one device gather
+    (`to_seq_perm`) and counted there.
+    """
+    w_local: np.ndarray       # [NB, B] type id minus win_w*vspan; vspan=pad
+    d_local: np.ndarray       # [NB, B] doc id minus win_d*dspan; dspan=pad
+    mask: np.ndarray          # [NB, B]
+    flat_index: np.ndarray    # [NB, B] corpus token index (-1 = pad)
+    win_w_chunks: np.ndarray  # [NB*B/chunk] w-window id per chunk
+    win_d_chunks: np.ndarray  # [NB*B/chunk] d-window id per chunk
+    vspan: int
+    dspan: int
+    nwin_w: int
+    nwin_d: int
+    chunk: int
+
+
+def build_stream_blocks_seq(tokens, doc_ids_all, num_types, num_docs, *,
+                            block: int = 4096, vspan: int = 128,
+                            dspan: int = 128,
+                            chunk: int = 128) -> "StreamBlocks":
+    """d-window-major sequential-safe blocks (see StreamBlocks)."""
+    assert block % chunk == 0
+    assert dspan <= chunk, "a rank group must fit one chunk per d-window"
+    tokens = np.asarray(tokens, np.int32)
+    d_all = np.asarray(doc_ids_all, np.int32)
+    n = tokens.shape[0]
+    nwin_w = max(1, (num_types + vspan - 1) // vspan)
+    nwin_d = max(1, (num_docs + dspan - 1) // dspan)
+    ww = tokens // vspan
+    dw = d_all // dspan
+
+    # occurrence rank of each token within its (dw, ww, doc) group
+    ord0 = np.lexsort((d_all, ww, dw))
+    key0 = ((dw[ord0].astype(np.int64) * nwin_w + ww[ord0]) * num_docs
+            + d_all[ord0])
+    newgrp = np.concatenate([[True], key0[1:] != key0[:-1]]) if n else \
+        np.zeros(0, bool)
+    starts = np.flatnonzero(newgrp)
+    grp_id = np.cumsum(newgrp) - 1 if n else np.zeros(0, np.int64)
+    rank = np.empty(n, np.int64)
+    rank[ord0] = np.arange(n) - (starts[grp_id] if n else 0)
+    nrank = int(rank.max()) + 1 if n else 1
+
+    order = np.lexsort((d_all, rank, ww, dw))
+    w_s, d_s = tokens[order], d_all[order]
+    ww_s, dw_s = ww[order], dw[order]
+    rank_s = rank[order]
+
+    # pseudo-cells (dw, ww, rank), sorted; each spans ceil(size/chunk)
+    # consecutive chunks (== 1 when dspan <= chunk)
+    keys = (dw_s.astype(np.int64) * nwin_w + ww_s) * nrank + rank_s
+    cell_key, cell_start = np.unique(keys, return_index=True)
+    cell_end = np.append(cell_start[1:], n)
+    sizes = cell_end - cell_start
+    cpc = (sizes + chunk - 1) // chunk
+    ncell = len(cell_key)
+    total_real = int(cpc.sum())
+    bpc = block // chunk
+    total_chunks = -(-total_real // bpc) * bpc   # pad to block multiple
+    nb = total_chunks // bpc
+
+    cell_first_chunk = np.concatenate([[0], np.cumsum(cpc)[:-1]])
+    cell_of_chunk = np.repeat(np.arange(ncell), cpc)
+    dw_of_chunk = (cell_key[cell_of_chunk] // (nwin_w * nrank)
+                   ).astype(np.int32)
+    ww_of_chunk = (cell_key[cell_of_chunk] // nrank % nwin_w
+                   ).astype(np.int32)
+    win_d_chunks = np.zeros(total_chunks, np.int32)
+    win_w_chunks = np.zeros(total_chunks, np.int32)
+    win_d_chunks[:total_real] = dw_of_chunk
+    win_w_chunks[:total_real] = ww_of_chunk
+    if total_real:
+        # pad chunks keep the last windows (no spurious DMA in-kernel)
+        win_d_chunks[total_real:] = dw_of_chunk[-1]
+        win_w_chunks[total_real:] = ww_of_chunk[-1]
+
+    w_local = np.full(total_chunks * chunk, vspan, np.int32)
+    d_local = np.full(total_chunks * chunk, dspan, np.int32)
+    mask = np.zeros(total_chunks * chunk, bool)
+    flat_index = np.full(total_chunks * chunk, -1, np.int64)
+    cell_of_token = np.repeat(np.arange(ncell), sizes)
+    pos_in_cell = np.arange(n) - cell_start[cell_of_token]
+    chunk_of_token = cell_first_chunk[cell_of_token] + pos_in_cell // chunk
+    dest = chunk_of_token * chunk + pos_in_cell % chunk
+    w_local[dest] = w_s - (ww_s * vspan).astype(np.int32)
+    d_local[dest] = d_s - (dw_s * dspan).astype(np.int32)
+    mask[dest] = True
+    flat_index[dest] = order
+
+    return StreamBlocks(
+        w_local=w_local.reshape(nb, block),
+        d_local=d_local.reshape(nb, block),
+        mask=mask.reshape(nb, block),
+        flat_index=flat_index.reshape(nb, block),
+        win_w_chunks=win_w_chunks, win_d_chunks=win_d_chunks,
+        vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
+        chunk=chunk)

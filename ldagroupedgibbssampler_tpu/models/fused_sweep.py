@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
-    FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_vmem_bytes)
+    FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_sweep_streamed,
+    fused_pcgs_vmem_bytes)
 
 # VMEM residency budget for the n_dk table (same gate style as the GGS
 # kernel's theta table)
@@ -47,31 +48,58 @@ class FusedPCGSSweepMixin:
         the block layout / table wiring, not of the statistics."""
         return self.config.zdraw_kernel == "interpret"
 
-    def _use_fused_sweep(self) -> bool:
-        return (self.fused_pcgs_eligible
+    # when the n_dk table exceeds the VMEM budget the sweep switches to
+    # the HBM-streamed variant (d-window-major StreamBlocks). Subclasses
+    # whose kernel has no streamed form (the MH family) set this False.
+    fused_stream_capable = True
+
+    def _fused_mode(self):
+        """None (XLA sweep) | "resident" | "streamed"."""
+        if not (self.fused_pcgs_eligible
                 and self.config.zdraw_kernel != "xla"
                 and (jax.default_backend() == "tpu"
                      or self._fused_interpret())
-                and self.corpus is not None
-                and fused_pcgs_vmem_bytes(self.corpus.num_docs,
-                                          self.config.topics, _SEQ_DSPAN)
-                <= _FUSED_PCGS_VMEM_BUDGET)
+                and self.corpus is not None):
+            return None
+        fits = fused_pcgs_vmem_bytes(self.corpus.num_docs,
+                                     self.config.topics, _SEQ_DSPAN) \
+            <= _FUSED_PCGS_VMEM_BUDGET
+        if fits:
+            return "resident"
+        return "streamed" if self.fused_stream_capable else None
+
+    def _use_fused_sweep(self) -> bool:
+        return self._fused_mode() is not None
 
     # -- device data -------------------------------------------------------
     def _prepare_device_data(self, corpus):
         super()._prepare_device_data(corpus)
-        if self._use_fused_sweep():
-            b = corpus.cell_blocks_seq(block=self.config.token_block,
-                                       vspan=self.config.vocab_span,
-                                       dspan=_SEQ_DSPAN)
+        mode = self._fused_mode()
+        if mode is not None:
+            if mode == "resident":
+                b = corpus.cell_blocks_seq(block=self.config.token_block,
+                                           vspan=self.config.vocab_span,
+                                           dspan=_SEQ_DSPAN)
+            else:
+                from ldagroupedgibbssampler_tpu.corpus.ragged import (
+                    build_stream_blocks_seq)
+                b = build_stream_blocks_seq(
+                    corpus.tokens, corpus.token_doc_ids(),
+                    corpus.num_types, corpus.num_docs,
+                    block=self.config.token_block,
+                    vspan=self.config.vocab_span, dspan=_SEQ_DSPAN)
             self._sblocks = b
             nb = b.w_local.shape[0]
             chunks = b.w_local.shape[1] // b.chunk
             self._sshape3 = (nb, chunks, b.chunk)
             self.swb = jnp.asarray(b.w_local.reshape(self._sshape3))
-            self.sdla = jnp.asarray(b.d_local_a.reshape(self._sshape3))
-            self.swinb = jnp.asarray(b.win_w)
-            self.sfirstb = jnp.asarray(b.first_w)
+            if mode == "resident":
+                self.sdla = jnp.asarray(b.d_local_a.reshape(self._sshape3))
+                self.swinb = jnp.asarray(b.win_w)
+                self.sfirstb = jnp.asarray(b.first_w)
+            else:
+                self.sdla = jnp.asarray(b.d_local.reshape(self._sshape3))
+                self.swwc = jnp.asarray(b.win_w_chunks)
             self.swindc = jnp.asarray(b.win_d_chunks)
             # block slot -> doc-major padded flat position, for the traced
             # z-layout conversion in _blockify_z_state (runs under the
@@ -143,14 +171,24 @@ class FusedPCGSSweepMixin:
         (V beta + n_k) for the collapsed ADLDA conditional."""
         cfg = self.config
         b = self._sblocks
-        z, nkw_vk, table_out = fused_pcgs_sweep(
-            self.swb, self.sdla, z_blocks,
-            self._ndk_table(ndk, alpha, doc_mask), word_vk,
-            self._fused_seed(k_z),
-            self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
-            nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
-            dspan=_SEQ_DSPAN, num_topics=cfg.topics,
-            interpret=self._fused_interpret())
+        if self._fused_mode() == "streamed":
+            z, nkw_vk, table_out = fused_pcgs_sweep_streamed(
+                self.swb, self.sdla, z_blocks,
+                self._ndk_table(ndk, alpha, doc_mask), word_vk,
+                self._fused_seed(k_z),
+                self.swwc, self.swindc, nk_plus=nk_plus,
+                nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+                dspan=_SEQ_DSPAN, num_topics=cfg.topics,
+                interpret=self._fused_interpret())
+        else:
+            z, nkw_vk, table_out = fused_pcgs_sweep(
+                self.swb, self.sdla, z_blocks,
+                self._ndk_table(ndk, alpha, doc_mask), word_vk,
+                self._fused_seed(k_z),
+                self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
+                nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+                dspan=_SEQ_DSPAN, num_topics=cfg.topics,
+                interpret=self._fused_interpret())
         ndk_out, nkw = self._fused_extract(nkw_vk, table_out, alpha)
         return z, ndk_out, nkw
 

@@ -122,6 +122,7 @@ class LightPCLDA(UncollapsedParallelLDA):
 
     layout = "doc_major"
     smooth_phi = True
+    fused_stream_capable = False  # the MH kernel has no streamed variant
 
     def _target_and_proposal(self, state: LDAState):
         log_phi_t = jnp.log(state.phi.T + _EPS)

@@ -303,3 +303,236 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
     kpad = max(128, ((num_topics + 127) // 128) * 128)
     nwin_d = max(1, (num_docs + dspan - 1) // dspan)
     return (kpad + FLAG_ROWS) * nwin_d * dspan * 4
+
+
+def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
+                        tin_ref, ph_ref, tril_ref, *rest,
+                        vspan, dspan, kpad, num_topics, chunks, chunk,
+                        nblocks, u24_operand, collapsed):
+    rest = list(rest)
+    nkc_ref = rest.pop(0) if collapsed else None
+    u24_ref = rest.pop(0) if u24_operand else None
+    (nkw_in_ref, z_out, tout_ref, nkw_out,
+     tb_buf, ph_buf, nkw_buf, sems, cur) = rest
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+
+    @pl.when(i == 0)
+    def _():
+        cur[0] = jnp.int32(-1)   # current d-window in tb_buf
+        cur[1] = jnp.int32(-1)   # current w-window in ph_buf / nkw_buf
+
+    def tb_store():
+        cp = pltpu.make_async_copy(
+            tb_buf, tout_ref.at[:, pl.ds(cur[0] * dspan, dspan)],
+            sems.at[0])
+        cp.start()
+        cp.wait()
+
+    def nkw_store():
+        cp = pltpu.make_async_copy(
+            nkw_buf, nkw_out.at[pl.ds(cur[1] * vspan, vspan), :],
+            sems.at[2])
+        cp.start()
+        cp.wait()
+
+    if u24_operand:
+        u24s = u24_ref[0]
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((chunks, chunk)),
+                             jnp.uint32)
+        u24s = pltpu.bitcast(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
+
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
+    tril = tril_ref[:, :]
+
+    for c in range(chunks):
+        wd = wd_ref[0, c // 128, c % 128]
+        wwc = ww_ref[0, c // 128, c % 128]
+
+        # ---- streamed n_dk table window (read-write) ----
+        @pl.when(wd != cur[0])
+        def _():
+            @pl.when(cur[0] >= 0)
+            def _():
+                tb_store()
+            cp = pltpu.make_async_copy(
+                tin_ref.at[:, pl.ds(wd * dspan, dspan)], tb_buf,
+                sems.at[1])
+            cp.start()
+            cp.wait()
+            cur[0] = wd
+
+        # ---- streamed phi / N_kw windows (keyed by w-window) ----
+        @pl.when(wwc != cur[1])
+        def _():
+            @pl.when(cur[1] >= 0)
+            def _():
+                nkw_store()
+            cp1 = pltpu.make_async_copy(
+                ph_ref.at[:, pl.ds(wwc * vspan, vspan)], ph_buf,
+                sems.at[3])
+            cp2 = pltpu.make_async_copy(
+                nkw_in_ref.at[pl.ds(wwc * vspan, vspan), :], nkw_buf,
+                sems.at[4])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+            cur[1] = wwc
+
+        wrow = w_ref[0, c, :]
+        drow = d_ref[0, c, :]
+        zold = zo_ref[0, c, :]
+        oh_d = (iota_d == drow[None, :]).astype(jnp.float32)
+        oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
+        oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
+
+        nd_ext = jax.lax.dot(tb_buf[:, :], oh_d,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        flag = nd_ext[kpad, :]
+        corr = oh_zold * flag[None, :]
+        nd = nd_ext[:kpad, :] - corr
+        if collapsed:
+            num = jax.lax.dot(ph_buf[:, :], oh_w.astype(jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32) - corr
+            den = nkc_ref[:, 0:1] - corr
+            probs = (nd * (num / den)).astype(jnp.bfloat16)
+        else:
+            ph = jax.lax.dot(ph_buf[:, :], oh_w,
+                             preferred_element_type=jnp.float32)
+            probs = (nd * ph).astype(jnp.bfloat16)
+        znew, total = cdf_draw(tril, probs, u24s[c])
+        zout = jnp.where((flag > 0.5) & (total > 0), znew, zold)
+        z_out[0, c, :] = zout
+
+        oh_z = (iota_k == zout[None, :]).astype(jnp.bfloat16)
+        delta = (oh_z.astype(jnp.float32) - oh_zold).astype(jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tb_buf[:kpad, :] = tb_buf[:kpad, :] + upd
+        nkw_buf[:, :] = nkw_buf[:, :] + jax.lax.dot_general(
+            oh_w, oh_z, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i == nblocks - 1)
+    def _():
+        tb_store()
+        nkw_store()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
+                              "num_topics", "interpret"))
+def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
+                              ww_chunks, wd_chunks, u24=None, nk_plus=None,
+                              *, nwin_w, nwin_d, vspan, dspan, num_topics,
+                              interpret=False):
+    """One PCGS Gibbs sweep over d-window-major StreamBlocks with the
+    n_dk table, phi and N_kw all HBM-resident: VMEM holds one streamed
+    window of each (the table slice written back on d-window changes),
+    so there is NO VMEM gate on K x D. Same conditional semantics as
+    fused_pcgs_sweep (incl. the collapsed ADLDA mode via nk_plus).
+
+    ndk_table: f32 [kpad + FLAG_ROWS, Dpad] (aliased; donate).
+    Returns (z [NB, chunks, chunk], nkw [nwin_w * vspan, K] int32,
+             ndk_table_out).
+    """
+    nb, chunks, chunk = w3.shape
+    kpad = max(128, ((num_topics + 127) // 128) * 128)
+    vpad = nwin_w * vspan
+    v, k = phi_vk.shape
+    assert k == num_topics, \
+        f"word table must be [V, K]={v, num_topics}, got {phi_vk.shape}"
+    collapsed = nk_plus is not None
+    assert ndk_table.shape[0] == kpad + FLAG_ROWS
+    ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
+    ph = ph.astype(jnp.float32 if collapsed else jnp.bfloat16)
+    nkw0 = jnp.zeros((vpad, kpad), jnp.float32)
+    nkc_specs, nkc_ops = [], []
+    if collapsed:
+        nkc = jnp.pad(nk_plus.astype(jnp.float32), (0, kpad - k),
+                      constant_values=1.0)
+        nkc_ops = [jnp.broadcast_to(nkc[:, None], (kpad, 128))]
+        nkc_specs = [pl.BlockSpec((kpad, 128), lambda i, *_: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    u24_specs, u24_ops = [], []
+    if u24 is not None:
+        assert u24.shape == (nb, chunks, chunk)
+        u24_specs = [pl.BlockSpec((1, chunks, chunk),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        u24_ops = [u24]
+
+    wd_rows = max(1, -(-chunks // 128))
+
+    def smem3(a):
+        return jnp.pad(a.reshape(nb, chunks),
+                       ((0, 0), (0, wd_rows * 128 - chunks))
+                       ).reshape(nb, wd_rows, 128)
+
+    tril_op = jnp.tril(jnp.ones((128, 128), jnp.bfloat16))
+    dpad = ndk_table.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # n_dk table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # phi windows (HBM)
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *nkc_specs,
+            *u24_specs,
+            pl.BlockSpec(memory_space=pl.ANY),   # N_kw accumulator (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # table out (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # N_kw out (aliased)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),  # tb_buf
+            pltpu.VMEM((kpad, vspan), ph.dtype),                 # ph_buf
+            pltpu.VMEM((vspan, kpad), jnp.float32),              # nkw_buf
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SMEM((2,), jnp.int32),                         # cur
+        ],
+    )
+    # alias indices count ALL operands incl. the scalar-prefetch seed:
+    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wd3=5, table=6, ph=7, tril=8,
+    # [nkc], [u24], nkw = 9 + extras
+    n_extra = len(nkc_ops) + len(u24_ops)
+    table_idx, nkw_idx = 6, 9 + n_extra
+    z, table, nkw = pl.pallas_call(
+        functools.partial(
+            _pcgs_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
+            num_topics=num_topics, chunks=chunks, chunk=chunk, nblocks=nb,
+            u24_operand=u24 is not None, collapsed=collapsed),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((kpad + FLAG_ROWS, dpad), jnp.float32),
+            jax.ShapeDtypeStruct((vpad, kpad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={table_idx: 1, nkw_idx: 2},
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(wd_chunks),
+      ndk_table, ph, tril_op, *nkc_ops, *u24_ops, nkw0)
+    return z, nkw[:, :num_topics].astype(jnp.int32), table

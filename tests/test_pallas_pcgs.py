@@ -212,6 +212,94 @@ def test_fused_sweep_collapsed_distribution():
     assert np.array_equal(nkw[:V].astype(np.int64), ref)
 
 
+def _run_stream_sweep(c, K, z_flat, doc_mask, word, alpha, seed=123,
+                      nk_plus=None):
+    from ldagroupedgibbssampler_tpu.corpus.ragged import (
+        build_stream_blocks_seq)
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+        fused_pcgs_sweep_streamed)
+    b = build_stream_blocks_seq(c.tokens, c.token_doc_ids(), c.num_types,
+                                c.num_docs, block=512, vspan=128,
+                                dspan=128, chunk=128)
+    nb = b.w_local.shape[0]
+    chunks = b.w_local.shape[1] // b.chunk
+    sh3 = (nb, chunks, b.chunk)
+    fi3 = b.flat_index.reshape(sh3)
+    z_old = np.zeros(sh3, np.int32)
+    z_old[fi3 >= 0] = z_flat[fi3[fi3 >= 0]]
+    ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ndk, (c.token_doc_ids(), z_flat), 1)
+    kpad = max(128, -(-K // 128) * 128)
+    table = np.zeros((kpad + FLAG_ROWS, b.nwin_d * 128), np.float32)
+    table[:K, :c.num_docs] = (ndk + alpha).T
+    table[kpad, :c.num_docs] = doc_mask
+    u24 = np.random.default_rng(seed).integers(
+        0, 2 ** 24, sh3, dtype=np.int64).astype(np.int32)
+    z, nkw, table_out = fused_pcgs_sweep_streamed(
+        jnp.asarray(b.w_local.reshape(sh3)),
+        jnp.asarray(b.d_local.reshape(sh3)),
+        jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(word),
+        jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w_chunks),
+        jnp.asarray(b.win_d_chunks), jnp.asarray(u24),
+        None if nk_plus is None else jnp.asarray(nk_plus, jnp.float32),
+        nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
+        num_topics=K, interpret=jax.default_backend() != "tpu")
+    z_out = np.zeros(c.num_tokens, np.int32)
+    z_out[fi3[fi3 >= 0]] = np.asarray(z)[fi3 >= 0]
+    return z_out, np.asarray(nkw), np.asarray(table_out)
+
+
+@pytest.mark.parametrize("K", [7, 300])
+def test_streamed_sweep_count_semantics(K):
+    """The HBM-streamed variant (d-window-major StreamBlocks, table/phi/
+    N_kw windows DMAed on window change) must satisfy the same count
+    semantics as the resident kernel — including multi-tile K (kpad=384)
+    where the VMEM gate would have forced the XLA fallback."""
+    rng = np.random.default_rng(1)
+    c = _rand_corpus(1, docs=300, vocab=500)
+    V = c.num_types
+    alpha = np.full(K, 0.4, np.float32)
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    doc_mask = np.ones(c.num_docs, np.float32)
+    doc_mask[::3] = 0.0
+    phi = rng.dirichlet(np.full(V, 0.1), K).T.astype(np.float32)
+    z_out, nkw, table_out = _run_stream_sweep(c, K, z_flat, doc_mask, phi,
+                                              alpha)
+    dall = c.token_doc_ids()
+    unsel = doc_mask[dall] == 0
+    assert (z_out[unsel] == z_flat[unsel]).all()
+    assert (z_out[~unsel] != z_flat[~unsel]).any()
+    ref_nkw = np.zeros((V, K), np.int64)
+    np.add.at(ref_nkw, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref_nkw)
+    ref_ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ref_ndk, (dall, z_out), 1)
+    kpad = max(128, -(-K // 128) * 128)
+    got = table_out[:K, :c.num_docs].T - alpha[None, :]
+    np.testing.assert_allclose(got, ref_ndk, atol=1e-3)
+    assert np.array_equal(table_out[kpad, :c.num_docs], doc_mask)
+
+
+def test_streamed_sweep_draw_distribution():
+    """Chi-square of the streamed variant against the exact PCGS
+    conditional (single-token docs, as test_fused_sweep_draw_distribution
+    for the resident kernel)."""
+    from scipy import stats as sps
+    D, K = 4000, 5
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    alpha = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
+    phi = np.array([[0.9, 0.5, 0.1, 0.4, 0.2],
+                    [0.1, 0.5, 0.9, 0.6, 0.8]], np.float32)
+    p = alpha * phi[0]
+    p = p / p.sum()
+    z_out, _, _ = _run_stream_sweep(c, K, np.zeros(D, np.int32),
+                                    np.ones(D, np.float32), phi, alpha,
+                                    seed=9)
+    obs = np.bincount(z_out, minlength=K).astype(np.float64)
+    chi2 = float(((obs - p * D) ** 2 / (p * D)).sum())
+    assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
+
+
 def test_fused_gate_off_tpu_and_vmem():
     c = _rand_corpus(2)
     m = LDAPartiallyCollapsedGibbsSampler(
