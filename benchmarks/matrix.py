@@ -289,6 +289,20 @@ def main(argv=None):
             "tokens_per_sec": tps, "active_topics_after_20": active}
         del mh
 
+    # 7c. spalias at K=1000 — the regime the reference's alias tables
+    #     target; the fused sweep runs HBM-STREAMED here (the n_dk table
+    #     exceeds the VMEM budget at kpad=1024).
+    if want("7c_spalias_20ng_k1000"):
+        cfg7c = LDAConfig(scheme="spalias", topics=1000, alpha=0.05,
+                          beta=0.01, seed=2019, exec_time=-1)
+        m7c = create_model(cfg7c)
+        m7c.add_instances(corpus)
+        report["results"]["7c_spalias_20ng_k1000"] = {
+            "tokens_per_sec": round(_throughput(m7c, corpus,
+                                                max(3, iters // 2)), 1),
+            "fused_mode": m7c._fused_mode() or "xla"}
+        del m7c
+
     # 6. NYTimes-scale GGS (D=300k, V=102,660, N≈100M — the UCI stats the
     #    reference quotes in datasets/README.txt): production-scale run on
     #    one chip via the HBM-streamed theta kernel. doc_span=1024 keeps
