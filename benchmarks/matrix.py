@@ -319,6 +319,21 @@ def main(argv=None):
             "num_tokens": nyt.num_tokens,
             "tokens_per_sec": round(_throughput(m6, nyt, 3), 1)}
 
+    # 2d. NYTimes-scale PCGS: per-document sequential updates at 100M
+    #     tokens on one chip — only possible via the HBM-streamed fused
+    #     sweep (n_dk table ~163 MB, HBM-resident).
+    if (not args.skip_nyt and jax.default_backend() == "tpu"
+            and want("2d_pcgs_nyt_k100")):
+        nyt2 = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
+        cfg2d = LDAConfig(scheme="pcgs", topics=100, alpha=0.5, beta=0.01,
+                          seed=2019, exec_time=-1)
+        m2d = create_model(cfg2d)
+        m2d.add_instances(nyt2)
+        report["results"]["2d_pcgs_nyt_k100"] = {
+            "num_tokens": nyt2.num_tokens,
+            "fused_mode": m2d._fused_mode() or "xla",
+            "tokens_per_sec": round(_throughput(m2d, nyt2, 3), 1)}
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
