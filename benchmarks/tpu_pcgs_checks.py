@@ -205,6 +205,28 @@ assert sps.chi2.sf(chi2b, Kd - 1) > 1e-4, (obs2, p * Dd)
 print(f"4b. streamed chi-square vs exact conditional: ok "
       f"(chi2={chi2b:.1f})")
 
+# ---- 4c. streamed MH (lightpclda above the VMEM budget) ------------------
+from ldagroupedgibbssampler_tpu.models import fused_sweep as _fs
+
+_saved_budget = _fs._FUSED_PCGS_VMEM_BUDGET
+_fs._FUSED_PCGS_VMEM_BUDGET = 1
+try:
+    cfgm = LDAConfig(scheme="lightpclda", topics=20, alpha=0.5, beta=0.01,
+                     seed=2019, exec_time=-1)
+    mm = create_model(cfgm)
+    mm.add_instances(ce)
+    assert mm._fused_mode() == "streamed"
+    mm.sample(10)
+    assert int(np.asarray(mm.state.nkw).sum()) == ce.num_tokens
+    z_mh = mm.get_z_indicators()
+    refm = np.zeros((2000, 20), np.int64)
+    np.add.at(refm, (ce.tokens, z_mh), 1)
+    assert np.array_equal(
+        np.asarray(mm._nkw_kv()).T.astype(np.int64), refm)
+    print("4c. streamed MH (lightpclda): counts ok after 10 iters")
+finally:
+    _fs._FUSED_PCGS_VMEM_BUDGET = _saved_budget
+
 # ---- 5. HDP rides the fused sweep: fused vs XLA agreement ----------------
 act = {}
 for kern in ("fused", "xla"):

@@ -122,7 +122,6 @@ class LightPCLDA(UncollapsedParallelLDA):
 
     layout = "doc_major"
     smooth_phi = True
-    fused_stream_capable = False  # the MH kernel has no streamed variant
 
     def _target_and_proposal(self, state: LDAState):
         log_phi_t = jnp.log(state.phi.T + _EPS)
@@ -136,18 +135,27 @@ class LightPCLDA(UncollapsedParallelLDA):
     def _fused_mh(self, k_z, state, doc_mask):
         from ldagroupedgibbssampler_tpu.models.fused_sweep import _SEQ_DSPAN
         from ldagroupedgibbssampler_tpu.ops.pallas_lightlda import (
-            fused_lightlda_sweep)
+            fused_lightlda_sweep, fused_lightlda_sweep_streamed)
         cfg = self.config
         tw, qw = self._target_and_proposal_linear(state)
         b = self._sblocks
-        z, nkw_vk, table_out = fused_lightlda_sweep(
-            self.swb, self.sdla, state.z,
-            self._ndk_table(state.ndk, state.alpha, doc_mask), tw, qw,
-            self._fused_seed(k_z),
-            self.swinb, self.sfirstb, self.swindc,
-            nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
-            dspan=_SEQ_DSPAN, num_topics=cfg.topics,
-            interpret=self._fused_interpret())
+        if self._fused_mode() == "streamed":
+            z, nkw_vk, table_out = fused_lightlda_sweep_streamed(
+                self.swb, self.sdla, state.z,
+                self._ndk_table(state.ndk, state.alpha, doc_mask), tw, qw,
+                self._fused_seed(k_z), self.swwc, self.swindc,
+                nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+                dspan=_SEQ_DSPAN, num_topics=cfg.topics,
+                interpret=self._fused_interpret())
+        else:
+            z, nkw_vk, table_out = fused_lightlda_sweep(
+                self.swb, self.sdla, state.z,
+                self._ndk_table(state.ndk, state.alpha, doc_mask), tw, qw,
+                self._fused_seed(k_z),
+                self.swinb, self.sfirstb, self.swindc,
+                nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+                dspan=_SEQ_DSPAN, num_topics=cfg.topics,
+                interpret=self._fused_interpret())
         ndk, nkw = self._fused_extract(nkw_vk, table_out, state.alpha)
         return z, ndk, nkw
 

@@ -252,3 +252,244 @@ def fused_lightlda_sweep(w3, d3, z_old, ndk_table, tw_vk, qw_vk, seed,
     )(seed, win_w, first_w, w3, d3, z_old, wd3, tw, qw, tril_op,
       *u24_ops, ndk_table)
     return z, nkw[:, :num_topics].astype(jnp.int32), table
+
+
+def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
+                      tin_ref, tw_hbm, qw_hbm, tril_ref, *rest,
+                      vspan, dspan, kpad, num_topics, chunks, chunk,
+                      nblocks, u24_operand):
+    rest = list(rest)
+    u24_ref = rest.pop(0) if u24_operand else None
+    (nkw_in_ref, z_out, tout_ref, nkw_out,
+     tb_buf, tw_buf, qw_buf, nkw_buf, sems, cur) = rest
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+
+    @pl.when(i == 0)
+    def _():
+        cur[0] = jnp.int32(-1)
+        cur[1] = jnp.int32(-1)
+
+    def tb_store():
+        cp = pltpu.make_async_copy(
+            tb_buf, tout_ref.at[:, pl.ds(cur[0] * dspan, dspan)],
+            sems.at[0])
+        cp.start()
+        cp.wait()
+
+    def nkw_store():
+        cp = pltpu.make_async_copy(
+            nkw_buf, nkw_out.at[pl.ds(cur[1] * vspan, vspan), :],
+            sems.at[2])
+        cp.start()
+        cp.wait()
+
+    if u24_operand:
+        u24s = u24_ref[0]
+    else:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((4 * chunks, chunk)),
+                             jnp.uint32)
+        u24s = pltpu.bitcast(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32)
+    inv24 = jnp.float32(2 ** -24)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
+    tril = tril_ref[:, :]
+
+    for c in range(chunks):
+        wd = wd_ref[0, c // 128, c % 128]
+        wwc = ww_ref[0, c // 128, c % 128]
+
+        @pl.when(wd != cur[0])
+        def _():
+            @pl.when(cur[0] >= 0)
+            def _():
+                tb_store()
+            cp = pltpu.make_async_copy(
+                tin_ref.at[:, pl.ds(wd * dspan, dspan)], tb_buf,
+                sems.at[1])
+            cp.start()
+            cp.wait()
+            cur[0] = wd
+
+        @pl.when(wwc != cur[1])
+        def _():
+            @pl.when(cur[1] >= 0)
+            def _():
+                nkw_store()
+            cps = [pltpu.make_async_copy(
+                       tw_hbm.at[:, pl.ds(wwc * vspan, vspan)], tw_buf,
+                       sems.at[3]),
+                   pltpu.make_async_copy(
+                       qw_hbm.at[:, pl.ds(wwc * vspan, vspan)], qw_buf,
+                       sems.at[4]),
+                   pltpu.make_async_copy(
+                       nkw_in_ref.at[pl.ds(wwc * vspan, vspan), :],
+                       nkw_buf, sems.at[2])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            cur[1] = wwc
+
+        wrow = w_ref[0, c, :]
+        drow = d_ref[0, c, :]
+        zold = zo_ref[0, c, :]
+        oh_d = (iota_d == drow[None, :]).astype(jnp.float32)
+        oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
+        oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
+
+        nd_ext = jax.lax.dot(tb_buf[:, :], oh_d,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        flag = nd_ext[kpad, :]
+        nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]
+        tw = jax.lax.dot(tw_buf[:, :], oh_w,
+                         preferred_element_type=jnp.float32)
+        qw = jax.lax.dot(qw_buf[:, :], oh_w,
+                         preferred_element_type=jnp.float32)
+
+        k1, totq = cdf_draw(tril, qw.astype(jnp.bfloat16), u24s[4 * c])
+        oh_k1 = (iota_k == k1[None, :]).astype(jnp.float32)
+        nd_z = jnp.sum(nd * oh_zold, axis=0)
+        nd_1 = jnp.sum(nd * oh_k1, axis=0)
+        tw_z = jnp.sum(tw * oh_zold, axis=0)
+        tw_1 = jnp.sum(tw * oh_k1, axis=0)
+        qw_z = jnp.sum(qw * oh_zold, axis=0)
+        qw_1 = jnp.sum(qw * oh_k1, axis=0)
+        u1 = u24s[4 * c + 1].astype(jnp.float32) * inv24
+        take1 = (u1 * (nd_z * tw_z * qw_1) < nd_1 * tw_1 * qw_z) \
+            & (totq > 0)
+        z1 = jnp.where(take1, k1, zold)
+        tw_z1 = jnp.where(take1, tw_1, tw_z)
+        nd_z1 = jnp.where(take1, nd_1, nd_z)
+
+        ndq16 = nd.astype(jnp.bfloat16)
+        ndq = ndq16.astype(jnp.float32)
+        ndq_z = jnp.sum(ndq * oh_zold, axis=0)
+        ndq_1 = jnp.sum(ndq * oh_k1, axis=0)
+        ndq_z1 = jnp.where(take1, ndq_1, ndq_z)
+        k2, totd = cdf_draw(tril, ndq16, u24s[4 * c + 2])
+        oh_k2 = (iota_k == k2[None, :]).astype(jnp.float32)
+        tw_2 = jnp.sum(tw * oh_k2, axis=0)
+        nd_2 = jnp.sum(nd * oh_k2, axis=0)
+        ndq_2 = jnp.sum(ndq * oh_k2, axis=0)
+        u2 = u24s[4 * c + 3].astype(jnp.float32) * inv24
+        z2 = jnp.where((u2 * (nd_z1 * tw_z1 * ndq_2)
+                        < nd_2 * tw_2 * ndq_z1) & (totd > 0), k2, z1)
+
+        zout = jnp.where(flag > 0.5, z2, zold)
+        z_out[0, c, :] = zout
+
+        oh_z = (iota_k == zout[None, :]).astype(jnp.bfloat16)
+        delta = (oh_z.astype(jnp.float32) - oh_zold).astype(jnp.bfloat16)
+        upd = jax.lax.dot_general(
+            delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        tb_buf[:kpad, :] = tb_buf[:kpad, :] + upd
+        nkw_buf[:, :] = nkw_buf[:, :] + jax.lax.dot_general(
+            oh_w, oh_z, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i == nblocks - 1)
+    def _():
+        tb_store()
+        nkw_store()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
+                              "num_topics", "interpret"))
+def fused_lightlda_sweep_streamed(w3, d3, z_old, ndk_table, tw_vk, qw_vk,
+                                  seed, ww_chunks, wd_chunks, u24=None, *,
+                                  nwin_w, nwin_d, vspan, dspan, num_topics,
+                                  interpret=False):
+    """HBM-streamed LightLDA MH sweep over d-window-major StreamBlocks —
+    the large-KxD mode (see fused_pcgs_sweep_streamed); same MH semantics
+    as fused_lightlda_sweep."""
+    nb, chunks, chunk = w3.shape
+    kpad = max(128, ((num_topics + 127) // 128) * 128)
+    vpad = nwin_w * vspan
+    v, k = tw_vk.shape
+    assert k == num_topics, \
+        f"word tables must be [V, K]={v, num_topics}, got {tw_vk.shape}"
+    assert qw_vk.shape == tw_vk.shape
+    assert ndk_table.shape[0] == kpad + FLAG_ROWS
+    tw = jnp.pad(tw_vk, ((0, vpad - v), (0, kpad - k))).T.astype(
+        jnp.bfloat16)
+    qw = jnp.pad(qw_vk, ((0, vpad - v), (0, kpad - k))).T.astype(
+        jnp.bfloat16)
+    nkw0 = jnp.zeros((vpad, kpad), jnp.float32)
+    u24_specs, u24_ops = [], []
+    if u24 is not None:
+        assert u24.shape == (nb, 4 * chunks, chunk)
+        u24_specs = [pl.BlockSpec((1, 4 * chunks, chunk),
+                                  lambda i, *_: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        u24_ops = [u24]
+    wd_rows = max(1, -(-chunks // 128))
+
+    def smem3(a):
+        return jnp.pad(a.reshape(nb, chunks),
+                       ((0, 0), (0, wd_rows * 128 - chunks))
+                       ).reshape(nb, wd_rows, 128)
+
+    tril_op = jnp.tril(jnp.ones((128, 128), jnp.bfloat16))
+    dpad = ndk_table.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # n_dk table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # tw windows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # qw windows (HBM)
+            pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *u24_specs,
+            pl.BlockSpec(memory_space=pl.ANY),   # N_kw accumulator (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunks, chunk),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),
+            pltpu.VMEM((kpad, vspan), jnp.bfloat16),
+            pltpu.VMEM((kpad, vspan), jnp.bfloat16),
+            pltpu.VMEM((vspan, kpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wd3=5, table=6, tw=7, qw=8,
+    # tril=9, [u24], nkw = 10 + extras
+    nkw_idx = 10 + len(u24_ops)
+    z, table, nkw = pl.pallas_call(
+        functools.partial(
+            _mh_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
+            num_topics=num_topics, chunks=chunks, chunk=chunk, nblocks=nb,
+            u24_operand=u24 is not None),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((kpad + FLAG_ROWS, dpad), jnp.float32),
+            jax.ShapeDtypeStruct((vpad, kpad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        input_output_aliases={6: 1, nkw_idx: 2},
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(wd_chunks),
+      ndk_table, tw, qw, tril_op, *u24_ops, nkw0)
+    return z, nkw[:, :num_topics].astype(jnp.int32), table

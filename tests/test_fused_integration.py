@@ -54,7 +54,8 @@ def test_fused_path_end_to_end(scheme):
     np.testing.assert_array_equal(m.get_z_indicators(), z)
 
 
-@pytest.mark.parametrize("scheme", ["pcgs", "adlda", "ppu_hdplda"])
+@pytest.mark.parametrize("scheme", ["pcgs", "adlda", "ppu_hdplda",
+                                    "lightpclda", "lightcollapsed"])
 def test_streamed_path_end_to_end(scheme, monkeypatch):
     """Force the HBM-streamed fused sweep (the large-KxD mode) by
     shrinking the VMEM budget; same wiring invariants as the resident
@@ -78,21 +79,6 @@ def test_streamed_path_end_to_end(scheme, monkeypatch):
     ref_ndk = np.zeros((c.num_docs, 6), np.int64)
     np.add.at(ref_ndk, (c.token_doc_ids(), z), 1)
     assert np.array_equal(np.asarray(st.ndk).astype(np.int64), ref_ndk)
-
-
-def test_streamed_gate_mh_falls_back(monkeypatch):
-    """The MH family has no streamed kernel: an over-budget table sends it
-    to the XLA sweep, not to a broken streamed call."""
-    from ldagroupedgibbssampler_tpu.models import fused_sweep as fs
-    monkeypatch.setattr(fs, "_FUSED_PCGS_VMEM_BUDGET", 1)
-    c = _tiny_corpus(3)
-    m = create_model(LDAConfig(scheme="lightpclda", topics=6, alpha=0.5,
-                               beta=0.1, seed=7, exec_time=-1,
-                               zdraw_kernel="interpret", token_block=512))
-    m.add_instances(c)
-    assert m._fused_mode() is None
-    m.sample(2)
-    assert int(np.asarray(m.state.nkw).sum()) == c.num_tokens
 
 
 def test_fused_checkpoint_roundtrip(tmp_path):

@@ -17,32 +17,55 @@ from ldagroupedgibbssampler_tpu.ops.pallas_lightlda import (
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import FLAG_ROWS
 
 
-def _run_mh(c, K, z_flat, doc_mask, tw, qw, alpha, seed=123):
-    b = c.cell_blocks_seq(block=512, vspan=128, dspan=128, chunk=128)
+def _run_mh(c, K, z_flat, doc_mask, tw, qw, alpha, seed=123,
+            streamed=False):
+    interp = jax.default_backend() != "tpu"
+    kpad = max(128, -(-K // 128) * 128)
+    ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ndk, (c.token_doc_ids(), z_flat), 1)
+    if streamed:
+        from ldagroupedgibbssampler_tpu.corpus.ragged import (
+            build_stream_blocks_seq)
+        from ldagroupedgibbssampler_tpu.ops.pallas_lightlda import (
+            fused_lightlda_sweep_streamed)
+        b = build_stream_blocks_seq(c.tokens, c.token_doc_ids(),
+                                    c.num_types, c.num_docs, block=512,
+                                    vspan=128, dspan=128, chunk=128)
+        d_loc = b.d_local
+    else:
+        b = c.cell_blocks_seq(block=512, vspan=128, dspan=128, chunk=128)
+        d_loc = b.d_local_a
     nb = b.w_local.shape[0]
     chunks = b.w_local.shape[1] // b.chunk
     sh3 = (nb, chunks, b.chunk)
     fi3 = b.flat_index.reshape(sh3)
     z_old = np.zeros(sh3, np.int32)
     z_old[fi3 >= 0] = z_flat[fi3[fi3 >= 0]]
-    ndk = np.zeros((c.num_docs, K), np.int64)
-    np.add.at(ndk, (c.token_doc_ids(), z_flat), 1)
-    kpad = max(128, -(-K // 128) * 128)
     table = np.zeros((kpad + FLAG_ROWS, b.nwin_d * 128), np.float32)
     table[:K, :c.num_docs] = (ndk + alpha).T
     table[kpad, :c.num_docs] = doc_mask
     u24 = np.random.default_rng(seed).integers(
         0, 2 ** 24, (nb, 4 * chunks, b.chunk), dtype=np.int64
     ).astype(np.int32)
-    z, nkw, table_out = fused_lightlda_sweep(
-        jnp.asarray(b.w_local.reshape(sh3)),
-        jnp.asarray(b.d_local_a.reshape(sh3)),
-        jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(tw),
-        jnp.asarray(qw), jnp.asarray([seed], jnp.int32),
-        jnp.asarray(b.win_w), jnp.asarray(b.first_w),
-        jnp.asarray(b.win_d_chunks), jnp.asarray(u24),
-        nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
-        num_topics=K, interpret=jax.default_backend() != "tpu")
+    if streamed:
+        z, nkw, table_out = fused_lightlda_sweep_streamed(
+            jnp.asarray(b.w_local.reshape(sh3)),
+            jnp.asarray(d_loc.reshape(sh3)),
+            jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(tw),
+            jnp.asarray(qw), jnp.asarray([seed], jnp.int32),
+            jnp.asarray(b.win_w_chunks), jnp.asarray(b.win_d_chunks),
+            jnp.asarray(u24), nwin_w=b.nwin_w, nwin_d=b.nwin_d,
+            vspan=128, dspan=128, num_topics=K, interpret=interp)
+    else:
+        z, nkw, table_out = fused_lightlda_sweep(
+            jnp.asarray(b.w_local.reshape(sh3)),
+            jnp.asarray(d_loc.reshape(sh3)),
+            jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(tw),
+            jnp.asarray(qw), jnp.asarray([seed], jnp.int32),
+            jnp.asarray(b.win_w), jnp.asarray(b.first_w),
+            jnp.asarray(b.win_d_chunks), jnp.asarray(u24),
+            nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
+            num_topics=K, interpret=interp)
     z_out = np.zeros(c.num_tokens, np.int32)
     z_out[fi3[fi3 >= 0]] = np.asarray(z)[fi3 >= 0]
     return z_out, np.asarray(nkw), np.asarray(table_out)
@@ -103,12 +126,13 @@ def _mh_oracle(z0, nd, tw_w, qw_w):
     return p2
 
 
+@pytest.mark.parametrize("streamed", [False, True])
 @pytest.mark.parametrize("alpha_row", [
     [0.5, 1.0, 2.0, 0.25, 1.25],   # bf16-exact alphas (ndq == nd)
     [0.1, 0.3, 0.7, 0.11, 0.23],   # non-bf16-exact: exercises the
                                    # quantised doc-proposal correction
 ])
-def test_mh_transition_distribution(alpha_row):
+def test_mh_transition_distribution(alpha_row, streamed):
     """Chi-square of the kernel's one-sweep draws for single-token docs
     against the exactly enumerated two-step MH transition distribution
     (bf16-quantised tables, as the kernel uses)."""
@@ -126,7 +150,7 @@ def test_mh_transition_distribution(alpha_row):
     # single token, z0=0: after the own-count decrement nd = alpha
     p = _mh_oracle(0, alpha.astype(np.float64), twq[0], qwq[0])
     z_out, _, _ = _run_mh(c, K, z_flat, np.ones(D, np.float32), tw, qw,
-                          alpha, seed=33)
+                          alpha, seed=33, streamed=streamed)
     obs = np.bincount(z_out, minlength=K).astype(np.float64)
     chi2 = float(((obs - p * D) ** 2 / (p * D)).sum())
     assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
