@@ -127,3 +127,89 @@ def build_cell_blocks_native(tokens, doc_ids_all, num_types, num_docs, *,
         win_d=win_d, first_d=first_d,
         vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
         chunk=chunk)
+
+
+# ---------------------------------------------------------------------------
+# StreamBlocks builder (native/stream_blocks.cpp) — same pattern
+# ---------------------------------------------------------------------------
+_SRC_SB = os.path.join(_NATIVE_DIR, "stream_blocks.cpp")
+_LIB_SB = os.path.join(_NATIVE_DIR, "libstreamblocks.so")
+_lib_sb = None
+_sb_failed = False
+
+
+def _load_sb():
+    global _lib_sb, _sb_failed
+    with _lock:
+        if _lib_sb is not None or _sb_failed:
+            return _lib_sb
+        if not os.path.exists(_LIB_SB) or (os.path.exists(_SRC_SB) and
+                                           os.path.getmtime(_SRC_SB)
+                                           > os.path.getmtime(_LIB_SB)):
+            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC_SB,
+                   "-o", _LIB_SB]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (OSError, subprocess.SubprocessError):
+                _sb_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_SB)
+        except OSError:
+            _sb_failed = True
+            return None
+        lib.sb_size.restype = ctypes.c_int
+        lib.sb_size.argtypes = [_P32, _P32, _I64, _I64, _I64, _I64, _I64,
+                                _I64, _I64, ctypes.POINTER(_I64)]
+        lib.sb_build.restype = ctypes.c_int
+        lib.sb_build.argtypes = [_P32, _P32, _I64, _I64, _I64, _I64, _I64,
+                                 _I64, _I64,
+                                 _P32, _P32, _PU8, _P64, _P32, _P32]
+        _lib_sb = lib
+        return _lib_sb
+
+
+def stream_native_available() -> bool:
+    return _load_sb() is not None
+
+
+def build_stream_blocks_native(tokens, doc_ids_all, num_types, num_docs, *,
+                               block, vspan, dspan, chunk):
+    """StreamBlocks via the C++ builder, or None when unavailable."""
+    lib = _load_sb()
+    if lib is None:
+        return None
+    from ldagroupedgibbssampler_tpu.corpus.ragged import StreamBlocks
+
+    tokens = np.ascontiguousarray(tokens, np.int32)
+    docs = np.ascontiguousarray(doc_ids_all, np.int32)
+    n = tokens.shape[0]
+    tc = _I64(0)
+    rc = lib.sb_size(tokens, docs, n, num_types, num_docs, block, vspan,
+                     dspan, chunk, ctypes.byref(tc))
+    if rc != 0:
+        return None
+    total = tc.value
+    bpc = block // chunk
+    nb = total // bpc
+    w_local = np.empty(total * chunk, np.int32)
+    d_local = np.empty(total * chunk, np.int32)
+    mask = np.empty(total * chunk, np.uint8)
+    flat_index = np.empty(total * chunk, np.int64)
+    ww = np.empty(total, np.int32)
+    wd = np.empty(total, np.int32)
+    rc = lib.sb_build(tokens, docs, n, num_types, num_docs, block, vspan,
+                      dspan, chunk, w_local, d_local, mask, flat_index,
+                      ww, wd)
+    if rc != 0:
+        return None
+    return StreamBlocks(
+        w_local=w_local.reshape(nb, block),
+        d_local=d_local.reshape(nb, block),
+        mask=mask.view(bool).reshape(nb, block),
+        flat_index=flat_index.reshape(nb, block),
+        win_w_chunks=ww, win_d_chunks=wd,
+        vspan=vspan, dspan=dspan,
+        nwin_w=max(1, (num_types + vspan - 1) // vspan),
+        nwin_d=max(1, (num_docs + dspan - 1) // dspan), chunk=chunk)

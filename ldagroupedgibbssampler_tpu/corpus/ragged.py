@@ -580,11 +580,11 @@ def build_cell_blocks_seq(tokens, doc_ids_all, num_types, num_docs, *,
     built identically (valid, though the fused PCGS path does not use
     them: the kernel's resident table carries n_dk out directly).
 
-    Unlike `build_cell_blocks` this builder has no native C++ fast path
-    yet: the fused-PCGS VMEM gate (~10 MB n_dk table) limits it to
-    corpora whose numpy build time is seconds, so the 100M-token corpora
-    where the native path matters never reach this layout. Revisit if
-    the gate widens (e.g. HBM-streamed tables).
+    This RESIDENT layout has no native C++ fast path: the fused-PCGS VMEM
+    gate (~10 MB n_dk table) limits it to corpora whose numpy build time
+    is seconds. Corpora past the gate use the d-window-major
+    `build_stream_blocks` layout instead, which DOES have a native builder
+    (native/stream_blocks.cpp, ~4x the numpy build at 10M tokens).
     """
     assert block % chunk == 0
     assert dspan <= chunk, "a rank group must fit one chunk per d-window"
@@ -809,3 +809,25 @@ def build_stream_blocks_seq(tokens, doc_ids_all, num_types, num_docs, *,
         win_w_chunks=win_w_chunks, win_d_chunks=win_d_chunks,
         vspan=vspan, dspan=dspan, nwin_w=nwin_w, nwin_d=nwin_d,
         chunk=chunk)
+
+
+def build_stream_blocks(tokens, doc_ids_all, num_types, num_docs, *,
+                        block: int = 4096, vspan: int = 128,
+                        dspan: int = 128, chunk: int = 128,
+                        native_threshold: int = 1_000_000
+                        ) -> "StreamBlocks":
+    """StreamBlocks via the native C++ builder for large corpora (three
+    full-corpus lexsorts in NumPy are minutes at NYTimes scale), NumPy
+    otherwise; both bit-identical (tests/test_cell_blocks.py)."""
+    n = np.asarray(tokens).shape[0]
+    if n >= native_threshold:
+        from ldagroupedgibbssampler_tpu.corpus.native_blocks import (
+            build_stream_blocks_native)
+        b = build_stream_blocks_native(
+            tokens, doc_ids_all, num_types, num_docs, block=block,
+            vspan=vspan, dspan=dspan, chunk=chunk)
+        if b is not None:
+            return b
+    return build_stream_blocks_seq(tokens, doc_ids_all, num_types,
+                                   num_docs, block=block, vspan=vspan,
+                                   dspan=dspan, chunk=chunk)

@@ -82,8 +82,8 @@ class FusedPCGSSweepMixin:
                                            dspan=_SEQ_DSPAN)
             else:
                 from ldagroupedgibbssampler_tpu.corpus.ragged import (
-                    build_stream_blocks_seq)
-                b = build_stream_blocks_seq(
+                    build_stream_blocks)
+                b = build_stream_blocks(
                     corpus.tokens, corpus.token_doc_ids(),
                     corpus.num_types, corpus.num_docs,
                     block=self.config.token_block,

@@ -163,3 +163,38 @@ def test_native_builder_matches_reference_oracle():
                      "src_chunks", "d_local", "win_d", "first_d"):
             np.testing.assert_array_equal(
                 getattr(a, name), getattr(b, name), err_msg=name)
+
+
+def test_stream_builder_native_matches_numpy():
+    """The C++ StreamBlocks builder (native/stream_blocks.cpp) is
+    bit-identical to the NumPy builder across corpus shapes."""
+    import numpy as np
+    import pytest
+    from ldagroupedgibbssampler_tpu.corpus.native_blocks import (
+        build_stream_blocks_native, stream_native_available)
+    from ldagroupedgibbssampler_tpu.corpus.ragged import (
+        build_stream_blocks_seq)
+
+    if not stream_native_available():
+        pytest.skip("no g++ available")
+    rng = np.random.default_rng(2)
+    for (v, d, n, block, vspan, dspan, chunk) in [
+            (700, 90, 5000, 1024, 128, 128, 128),
+            (50, 10, 200, 256, 16, 8, 64),
+            (1000, 50, 900, 512, 64, 16, 128),
+            (300, 500, 8000, 1024, 128, 128, 128),
+            (40, 7, 31, 256, 128, 128, 128)]:
+        toks = np.minimum(rng.integers(0, v, n),
+                          rng.integers(0, v, n)).astype(np.int32)
+        docs = np.sort(rng.integers(0, d, n)).astype(np.int32)
+        a = build_stream_blocks_native(toks, docs, v, d, block=block,
+                                       vspan=vspan, dspan=dspan,
+                                       chunk=chunk)
+        assert a is not None
+        b = build_stream_blocks_seq(toks, docs, v, d, block=block,
+                                    vspan=vspan, dspan=dspan, chunk=chunk)
+        for name in ("w_local", "d_local", "mask", "flat_index",
+                     "win_w_chunks", "win_d_chunks"):
+            np.testing.assert_array_equal(
+                getattr(a, name), getattr(b, name), err_msg=name)
+        assert (a.nwin_w, a.nwin_d) == (b.nwin_w, b.nwin_d)
