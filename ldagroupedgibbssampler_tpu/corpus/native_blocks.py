@@ -164,7 +164,7 @@ def _load_sb():
                                 _I64, _I64, ctypes.POINTER(_I64)]
         lib.sb_build.restype = ctypes.c_int
         lib.sb_build.argtypes = [_P32, _P32, _I64, _I64, _I64, _I64, _I64,
-                                 _I64, _I64,
+                                 _I64, _I64, _I64,
                                  _P32, _P32, _PU8, _P64, _P32, _P32]
         _lib_sb = lib
         return _lib_sb
@@ -200,8 +200,8 @@ def build_stream_blocks_native(tokens, doc_ids_all, num_types, num_docs, *,
     ww = np.empty(total, np.int32)
     wd = np.empty(total, np.int32)
     rc = lib.sb_build(tokens, docs, n, num_types, num_docs, block, vspan,
-                      dspan, chunk, w_local, d_local, mask, flat_index,
-                      ww, wd)
+                      dspan, chunk, total, w_local, d_local, mask,
+                      flat_index, ww, wd)
     if rc != 0:
         return None
     return StreamBlocks(

@@ -770,7 +770,9 @@ def build_stream_blocks_seq(tokens, doc_ids_all, num_types, num_docs, *,
     ncell = len(cell_key)
     total_real = int(cpc.sum())
     bpc = block // chunk
-    total_chunks = -(-total_real // bpc) * bpc   # pad to block multiple
+    # pad to a block multiple, with at least one (all-pad) block so the
+    # kernel grid is never empty — matches the native builder exactly
+    total_chunks = max(bpc, -(-total_real // bpc) * bpc)
     nb = total_chunks // bpc
 
     cell_first_chunk = np.concatenate([[0], np.cumsum(cpc)[:-1]])

@@ -4,11 +4,13 @@
 family (models/pcgs.py) and the HDP family (models/hdp.py, where alpha_k is
 the stick weight alpha*psi_k).
 
-On TPU, when the (n_dk + alpha).T table fits the VMEM budget, the sweep
-runs as ONE gather-free Pallas kernel (ops/pallas_pcgs.py) over
-sequential-safe cell blocks (corpus/ragged.py::build_cell_blocks_seq); z
-then lives in the block layout and the accessors here translate. Otherwise
-the XLA doc-sequential sweep (ops/kernels.py) is used by the caller.
+On TPU the sweep runs as ONE gather-free Pallas kernel
+(ops/pallas_pcgs.py) over sequential-safe cell blocks: VMEM-resident
+n_dk table when it fits the budget (corpus/ragged.py::
+build_cell_blocks_seq layout), HBM-streamed windows otherwise
+(build_stream_blocks, d-window-major). z then lives in the block layout
+and the accessors here translate. The XLA doc-sequential sweep
+(ops/kernels.py) remains the off-TPU / zdraw_kernel="xla" path.
 
 Mixed into a TpuLDASampler subclass BEFORE the base in the MRO. The
 concrete class keeps ownership of `_step` / `_init_state`; this mixin
@@ -48,11 +50,6 @@ class FusedPCGSSweepMixin:
         the block layout / table wiring, not of the statistics."""
         return self.config.zdraw_kernel == "interpret"
 
-    # when the n_dk table exceeds the VMEM budget the sweep switches to
-    # the HBM-streamed variant (d-window-major StreamBlocks). Subclasses
-    # whose kernel has no streamed form (the MH family) set this False.
-    fused_stream_capable = True
-
     def _fused_mode(self):
         """None (XLA sweep) | "resident" | "streamed"."""
         if not (self.fused_pcgs_eligible
@@ -64,9 +61,7 @@ class FusedPCGSSweepMixin:
         fits = fused_pcgs_vmem_bytes(self.corpus.num_docs,
                                      self.config.topics, _SEQ_DSPAN) \
             <= _FUSED_PCGS_VMEM_BUDGET
-        if fits:
-            return "resident"
-        return "streamed" if self.fused_stream_capable else None
+        return "resident" if fits else "streamed"
 
     def _use_fused_sweep(self) -> bool:
         return self._fused_mode() is not None

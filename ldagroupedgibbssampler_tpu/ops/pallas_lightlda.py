@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
-    FLAG_ROWS, cdf_draw)
+    FLAG_ROWS, cdf_draw, stream_windows)
 
 _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
@@ -264,25 +264,10 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
      tb_buf, tw_buf, qw_buf, nkw_buf, sems, cur) = rest
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
-
-    @pl.when(i == 0)
-    def _():
-        cur[0] = jnp.int32(-1)
-        cur[1] = jnp.int32(-1)
-
-    def tb_store():
-        cp = pltpu.make_async_copy(
-            tb_buf, tout_ref.at[:, pl.ds(cur[0] * dspan, dspan)],
-            sems.at[0])
-        cp.start()
-        cp.wait()
-
-    def nkw_store():
-        cp = pltpu.make_async_copy(
-            nkw_buf, nkw_out.at[pl.ds(cur[1] * vspan, vspan), :],
-            sems.at[2])
-        cp.start()
-        cp.wait()
+    ensure_dw, ensure_ww, finalize = stream_windows(
+        i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
+        nkw_in_ref, nkw_out, nkw_buf,
+        [(tw_hbm, tw_buf), (qw_hbm, qw_buf)])
 
     if u24_operand:
         u24s = u24_ref[0]
@@ -298,40 +283,8 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
     tril = tril_ref[:, :]
 
     for c in range(chunks):
-        wd = wd_ref[0, c // 128, c % 128]
-        wwc = ww_ref[0, c // 128, c % 128]
-
-        @pl.when(wd != cur[0])
-        def _():
-            @pl.when(cur[0] >= 0)
-            def _():
-                tb_store()
-            cp = pltpu.make_async_copy(
-                tin_ref.at[:, pl.ds(wd * dspan, dspan)], tb_buf,
-                sems.at[1])
-            cp.start()
-            cp.wait()
-            cur[0] = wd
-
-        @pl.when(wwc != cur[1])
-        def _():
-            @pl.when(cur[1] >= 0)
-            def _():
-                nkw_store()
-            cps = [pltpu.make_async_copy(
-                       tw_hbm.at[:, pl.ds(wwc * vspan, vspan)], tw_buf,
-                       sems.at[3]),
-                   pltpu.make_async_copy(
-                       qw_hbm.at[:, pl.ds(wwc * vspan, vspan)], qw_buf,
-                       sems.at[4]),
-                   pltpu.make_async_copy(
-                       nkw_in_ref.at[pl.ds(wwc * vspan, vspan), :],
-                       nkw_buf, sems.at[2])]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
-            cur[1] = wwc
+        ensure_dw(wd_ref[0, c // 128, c % 128])
+        ensure_ww(ww_ref[0, c // 128, c % 128])
 
         wrow = w_ref[0, c, :]
         drow = d_ref[0, c, :]
@@ -394,8 +347,7 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
 
     @pl.when(i == nblocks - 1)
     def _():
-        tb_store()
-        nkw_store()
+        finalize()
 
 
 @functools.partial(

@@ -305,22 +305,21 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
     return (kpad + FLAG_ROWS) * nwin_d * dspan * 4
 
 
-def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
-                        tin_ref, ph_ref, tril_ref, *rest,
-                        vspan, dspan, kpad, num_topics, chunks, chunk,
-                        nblocks, u24_operand, collapsed):
-    rest = list(rest)
-    nkc_ref = rest.pop(0) if collapsed else None
-    u24_ref = rest.pop(0) if u24_operand else None
-    (nkw_in_ref, z_out, tout_ref, nkw_out,
-     tb_buf, ph_buf, nkw_buf, sems, cur) = rest
-    i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
+                   nkw_in_ref, nkw_out, nkw_buf, word_pairs):
+    """Window-switch DMA machinery shared by the streamed sweep kernels.
 
+    cur: SMEM (2,) int32 [current d-window, current w-window], initialised
+    to -1 at grid step 0. tb_buf holds the read-write n_dk table slice
+    (stored back on d-window change and at the end); nkw_buf the HBM
+    read-modify-write N_kw accumulator window; word_pairs a list of
+    (hbm_ref, vmem_buf) read-only word tables keyed by the w-window.
+    Returns (ensure_dw(wd), ensure_ww(wwc), finalize()).
+    """
     @pl.when(i == 0)
     def _():
-        cur[0] = jnp.int32(-1)   # current d-window in tb_buf
-        cur[1] = jnp.int32(-1)   # current w-window in ph_buf / nkw_buf
+        cur[0] = jnp.int32(-1)
+        cur[1] = jnp.int32(-1)
 
     def tb_store():
         cp = pltpu.make_async_copy(
@@ -336,6 +335,60 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
         cp.start()
         cp.wait()
 
+    def ensure_dw(wd):
+        @pl.when(wd != cur[0])
+        def _():
+            @pl.when(cur[0] >= 0)
+            def _():
+                tb_store()
+            cp = pltpu.make_async_copy(
+                tin_ref.at[:, pl.ds(wd * dspan, dspan)], tb_buf,
+                sems.at[1])
+            cp.start()
+            cp.wait()
+            cur[0] = wd
+
+    def ensure_ww(wwc):
+        @pl.when(wwc != cur[1])
+        def _():
+            @pl.when(cur[1] >= 0)
+            def _():
+                nkw_store()
+            cps = [pltpu.make_async_copy(
+                       ref.at[:, pl.ds(wwc * vspan, vspan)], buf,
+                       sems.at[3 + j])
+                   for j, (ref, buf) in enumerate(word_pairs)]
+            cps.append(pltpu.make_async_copy(
+                nkw_in_ref.at[pl.ds(wwc * vspan, vspan), :], nkw_buf,
+                sems.at[2]))
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            cur[1] = wwc
+
+    def finalize():
+        tb_store()
+        nkw_store()
+
+    return ensure_dw, ensure_ww, finalize
+
+
+def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
+                        tin_ref, ph_ref, tril_ref, *rest,
+                        vspan, dspan, kpad, num_topics, chunks, chunk,
+                        nblocks, u24_operand, collapsed):
+    rest = list(rest)
+    nkc_ref = rest.pop(0) if collapsed else None
+    u24_ref = rest.pop(0) if u24_operand else None
+    (nkw_in_ref, z_out, tout_ref, nkw_out,
+     tb_buf, ph_buf, nkw_buf, sems, cur) = rest
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+    ensure_dw, ensure_ww, finalize = stream_windows(
+        i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
+        nkw_in_ref, nkw_out, nkw_buf, [(ph_ref, ph_buf)])
+
     if u24_operand:
         u24s = u24_ref[0]
     else:
@@ -350,39 +403,8 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
     tril = tril_ref[:, :]
 
     for c in range(chunks):
-        wd = wd_ref[0, c // 128, c % 128]
-        wwc = ww_ref[0, c // 128, c % 128]
-
-        # ---- streamed n_dk table window (read-write) ----
-        @pl.when(wd != cur[0])
-        def _():
-            @pl.when(cur[0] >= 0)
-            def _():
-                tb_store()
-            cp = pltpu.make_async_copy(
-                tin_ref.at[:, pl.ds(wd * dspan, dspan)], tb_buf,
-                sems.at[1])
-            cp.start()
-            cp.wait()
-            cur[0] = wd
-
-        # ---- streamed phi / N_kw windows (keyed by w-window) ----
-        @pl.when(wwc != cur[1])
-        def _():
-            @pl.when(cur[1] >= 0)
-            def _():
-                nkw_store()
-            cp1 = pltpu.make_async_copy(
-                ph_ref.at[:, pl.ds(wwc * vspan, vspan)], ph_buf,
-                sems.at[3])
-            cp2 = pltpu.make_async_copy(
-                nkw_in_ref.at[pl.ds(wwc * vspan, vspan), :], nkw_buf,
-                sems.at[4])
-            cp1.start()
-            cp2.start()
-            cp1.wait()
-            cp2.wait()
-            cur[1] = wwc
+        ensure_dw(wd_ref[0, c // 128, c % 128])
+        ensure_ww(ww_ref[0, c // 128, c % 128])
 
         wrow = w_ref[0, c, :]
         drow = d_ref[0, c, :]
@@ -423,8 +445,7 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
 
     @pl.when(i == nblocks - 1)
     def _():
-        tb_store()
-        nkw_store()
+        finalize()
 
 
 @functools.partial(

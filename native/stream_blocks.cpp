@@ -101,6 +101,7 @@ int sb_size(const int32_t* tokens, const int32_t* docs, int64_t n,
 int sb_build(const int32_t* tokens, const int32_t* docs, int64_t n,
              int64_t num_types, int64_t num_docs, int64_t block,
              int64_t vspan, int64_t dspan, int64_t chunk,
+             int64_t total_chunks,
              int32_t* w_local, int32_t* d_local, uint8_t* mask,
              int64_t* flat_index, int32_t* win_w_chunks,
              int32_t* win_d_chunks) {
@@ -120,23 +121,9 @@ int sb_build(const int32_t* tokens, const int32_t* docs, int64_t n,
             idx[cur[k]++] = i;
         }
     }
-    // sizing for the upfront default fill (pad slots + pad chunks)
-    int64_t total_real_sz = 0;
-    {
-        std::vector<int32_t> cnt0(dspan, 0);
-        for (int64_t k = 0; k < g.kk; ++k)
-            if (cell_sz[k]) {
-                std::vector<int32_t> dl(cell_sz[k]);
-                const int64_t* ids0 = idx.data() + off[k];
-                for (int64_t i = 0; i < cell_sz[k]; ++i)
-                    dl[i] = docs[ids0[i]] % dspan;
-                total_real_sz += cell_chunks(dl.data(), cell_sz[k], dspan,
-                                             cnt0);
-            }
-    }
-    int64_t bpc0 = block / chunk;
-    int64_t total0 = (total_real_sz + bpc0 - 1) / bpc0 * bpc0;
-    if (total0 == 0) total0 = bpc0;
+    // upfront default fill of all slots (pad slots + pad chunks); the
+    // caller passes the sb_size total, avoiding a second sizing pass
+    int64_t total0 = total_chunks;
     for (int64_t s = 0; s < total0 * chunk; ++s) {
         w_local[s] = (int32_t)vspan;
         d_local[s] = (int32_t)dspan;
