@@ -254,8 +254,8 @@ def fused_lightlda_sweep(w3, d3, z_old, ndk_table, tw_vk, qw_vk, seed,
     return z, nkw[:, :num_topics].astype(jnp.int32), table
 
 
-def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
-                      tin_ref, tw_hbm, qw_hbm, tril_ref, *rest,
+def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
+                      wd_ref, tin_ref, tw_hbm, qw_hbm, tril_ref, *rest,
                       vspan, dspan, kpad, num_topics, chunks, chunk,
                       nblocks, u24_operand):
     rest = list(rest)
@@ -264,7 +264,7 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
      tb_buf, tw_buf, qw_buf, nkw_buf, sems, cur) = rest
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
-    ensure_dw, ensure_ww, finalize = stream_windows(
+    ensure_dw, ensure_ww, active, finalize = stream_windows(
         i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         nkw_in_ref, nkw_out, nkw_buf,
         [(tw_hbm, tw_buf), (qw_hbm, qw_buf)])
@@ -284,7 +284,9 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
 
     for c in range(chunks):
         ensure_dw(wd_ref[0, c // 128, c % 128])
-        ensure_ww(ww_ref[0, c // 128, c % 128])
+        ensure_ww(ww_ref[0, c // 128, c % 128],
+                  wwn_ref[0, c // 128, c % 128])
+        slot = active()
 
         wrow = w_ref[0, c, :]
         drow = d_ref[0, c, :]
@@ -298,9 +300,9 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
                              preferred_element_type=jnp.float32)
         flag = nd_ext[kpad, :]
         nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]
-        tw = jax.lax.dot(tw_buf[:, :], oh_w,
+        tw = jax.lax.dot(tw_buf[slot], oh_w,
                          preferred_element_type=jnp.float32)
-        qw = jax.lax.dot(qw_buf[:, :], oh_w,
+        qw = jax.lax.dot(qw_buf[slot], oh_w,
                          preferred_element_type=jnp.float32)
 
         k1, totq = cdf_draw(tril, qw.astype(jnp.bfloat16), u24s[4 * c])
@@ -341,7 +343,7 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
             delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         tb_buf[:kpad, :] = tb_buf[:kpad, :] + upd
-        nkw_buf[:, :] = nkw_buf[:, :] + jax.lax.dot_general(
+        nkw_buf[slot] = nkw_buf[slot] + jax.lax.dot_general(
             oh_w, oh_z, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -387,6 +389,8 @@ def fused_lightlda_sweep_streamed(w3, d3, z_old, ndk_table, tw_vk, qw_vk,
                        ((0, 0), (0, wd_rows * 128 - chunks))
                        ).reshape(nb, wd_rows, 128)
 
+    # next chunk's w-window (lookahead for the prefetch); last keeps itself
+    ww_next = jnp.concatenate([ww_chunks[1:], ww_chunks[-1:]])
     tril_op = jnp.tril(jnp.ones((128, 128), jnp.bfloat16))
     dpad = ndk_table.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -399,6 +403,8 @@ def fused_lightlda_sweep_streamed(w3, d3, z_old, ndk_table, tw_vk, qw_vk,
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunks, chunk),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, wd_rows, 128),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, wd_rows, 128),
@@ -419,16 +425,16 @@ def fused_lightlda_sweep_streamed(w3, d3, z_old, ndk_table, tw_vk, qw_vk,
         ],
         scratch_shapes=[
             pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),
-            pltpu.VMEM((kpad, vspan), jnp.bfloat16),
-            pltpu.VMEM((kpad, vspan), jnp.bfloat16),
-            pltpu.VMEM((vspan, kpad), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((2, kpad, vspan), jnp.bfloat16),
+            pltpu.VMEM((2, kpad, vspan), jnp.bfloat16),
+            pltpu.VMEM((2, vspan, kpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((10,)),
+            pltpu.SMEM((6,), jnp.int32),
         ],
     )
-    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wd3=5, table=6, tw=7, qw=8,
-    # tril=9, [u24], nkw = 10 + extras
-    nkw_idx = 10 + len(u24_ops)
+    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wwn3=5, wd3=6, table=7, tw=8,
+    # qw=9, tril=10, [u24], nkw = 11 + extras
+    nkw_idx = 11 + len(u24_ops)
     z, table, nkw = pl.pallas_call(
         functools.partial(
             _mh_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
@@ -440,8 +446,8 @@ def fused_lightlda_sweep_streamed(w3, d3, z_old, ndk_table, tw_vk, qw_vk,
             jax.ShapeDtypeStruct((vpad, kpad), jnp.float32),
         ],
         grid_spec=grid_spec,
-        input_output_aliases={6: 1, nkw_idx: 2},
+        input_output_aliases={7: 1, nkw_idx: 2},
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(wd_chunks),
-      ndk_table, tw, qw, tril_op, *u24_ops, nkw0)
+    )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(ww_next),
+      smem3(wd_chunks), ndk_table, tw, qw, tril_op, *u24_ops, nkw0)
     return z, nkw[:, :num_topics].astype(jnp.int32), table

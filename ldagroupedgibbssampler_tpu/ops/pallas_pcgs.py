@@ -307,31 +307,43 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
 
 def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
                    nkw_in_ref, nkw_out, nkw_buf, word_pairs):
-    """Window-switch DMA machinery shared by the streamed sweep kernels.
+    """Window-switch DMA machinery shared by the streamed sweep kernels,
+    with DOUBLE-BUFFERED LOOKAHEAD PREFETCH of the w-window tables: the
+    host passes each chunk's NEXT w-window (`ensure_ww(wwc, wwn)`), so the
+    word-table and N_kw loads for the upcoming window start one chunk
+    early into the inactive buffer slot and the switch itself only flips
+    the active slot + fires the previous window's N_kw store
+    asynchronously. At NYTimes scale nearly every chunk switches windows,
+    so synchronous switch DMAs would dominate the sweep 5-8x.
 
-    cur: SMEM (2,) int32 [current d-window, current w-window], initialised
-    to -1 at grid step 0. tb_buf holds the read-write n_dk table slice
-    (stored back on d-window change and at the end); nkw_buf the HBM
-    read-modify-write N_kw accumulator window; word_pairs a list of
-    (hbm_ref, vmem_buf) read-only word tables keyed by the w-window.
-    Returns (ensure_dw(wd), ensure_ww(wwc), finalize()).
+    cur: SMEM (6,) int32 [current d-window, current w-window, active slot,
+    prefetched w-window (-1 none), per-slot pending-store w-window (-1
+    none) x2]. tb_buf [kpad*, dspan] holds the read-write n_dk table slice
+    (stored back on d-window change and at the end, synchronously — those
+    switches are rare); nkw_buf [2, vspan, kpad] the HBM read-modify-write
+    N_kw accumulator window; word_pairs a list of (hbm_ref,
+    vmem_buf[2, kpad*, vspan]) read-only word tables keyed by the
+    w-window. Semaphores: 0 tb store, 1 tb load, 2+s N_kw store of slot s,
+    4 + s*(P+1) + j load of pair j (j=P: N_kw) into slot s.
+    Returns (ensure_dw(wd), ensure_ww(wwc, wwn), active(), finalize()).
+    Every started copy is waited exactly once: loads at the consuming
+    switch, stores before their slot's next load or in finalize.
     """
+    P = len(word_pairs)
+
     @pl.when(i == 0)
     def _():
         cur[0] = jnp.int32(-1)
         cur[1] = jnp.int32(-1)
+        cur[2] = jnp.int32(0)
+        cur[3] = jnp.int32(-1)
+        cur[4] = jnp.int32(-1)
+        cur[5] = jnp.int32(-1)
 
     def tb_store():
         cp = pltpu.make_async_copy(
             tb_buf, tout_ref.at[:, pl.ds(cur[0] * dspan, dspan)],
             sems.at[0])
-        cp.start()
-        cp.wait()
-
-    def nkw_store():
-        cp = pltpu.make_async_copy(
-            nkw_buf, nkw_out.at[pl.ds(cur[1] * vspan, vspan), :],
-            sems.at[2])
         cp.start()
         cp.wait()
 
@@ -348,34 +360,91 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
             cp.wait()
             cur[0] = wd
 
-    def ensure_ww(wwc):
+    def _nkw_store_cp(slot, ww_t):
+        return pltpu.make_async_copy(
+            nkw_buf.at[slot], nkw_out.at[pl.ds(ww_t * vspan, vspan), :],
+            sems.at[2 + slot])
+
+    def _load_cps(slot, ww_t):
+        cps = [pltpu.make_async_copy(
+                   ref.at[:, pl.ds(ww_t * vspan, vspan)], buf.at[slot],
+                   sems.at[4 + slot * (P + 1) + j])
+               for j, (ref, buf) in enumerate(word_pairs)]
+        cps.append(pltpu.make_async_copy(
+            nkw_in_ref.at[pl.ds(ww_t * vspan, vspan), :],
+            nkw_buf.at[slot], sems.at[4 + slot * (P + 1) + P]))
+        return cps
+
+    def _wait_pending_store(slot):
+        @pl.when(cur[4 + slot] >= 0)
+        def _():
+            _nkw_store_cp(slot, cur[4 + slot]).wait()
+            cur[4 + slot] = jnp.int32(-1)
+
+    def ensure_ww(wwc, wwn):
         @pl.when(wwc != cur[1])
         def _():
+            a = cur[2]
+            pre = cur[3]  # snapshot BEFORE the branches mutate it
+            # fire the outgoing window's N_kw store (waited before its
+            # slot's next load, or in finalize)
             @pl.when(cur[1] >= 0)
             def _():
-                nkw_store()
-            cps = [pltpu.make_async_copy(
-                       ref.at[:, pl.ds(wwc * vspan, vspan)], buf,
-                       sems.at[3 + j])
-                   for j, (ref, buf) in enumerate(word_pairs)]
-            cps.append(pltpu.make_async_copy(
-                nkw_in_ref.at[pl.ds(wwc * vspan, vspan), :], nkw_buf,
-                sems.at[2]))
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
+                _nkw_store_cp(a, cur[1]).start()
+                cur[4 + a] = cur[1]
+
+            @pl.when(pre == wwc)
+            def _():
+                # prefetched: loads are in flight in slot 1-a — wait them
+                for cp in _load_cps(1 - a, wwc):
+                    cp.wait()
+                cur[2] = 1 - a
+                cur[3] = jnp.int32(-1)
+
+            @pl.when(pre != wwc)
+            def _():
+                # cold start (first window): synchronous load into 1-a
+                b = 1 - a
+                _wait_pending_store(b)
+                cps = _load_cps(b, wwc)
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                cur[2] = b
             cur[1] = wwc
+
+        # lookahead prefetch into the inactive slot
+        @pl.when((wwn != cur[1]) & (cur[3] != wwn))
+        def _():
+            b = 1 - cur[2]
+            _wait_pending_store(b)
+            for cp in _load_cps(b, wwn):
+                cp.start()
+            cur[3] = wwn
+
+    def active():
+        return cur[2]
 
     def finalize():
         tb_store()
-        nkw_store()
+        a = cur[2]
+        cp = _nkw_store_cp(a, cur[1])
+        cp.start()
+        cp.wait()
+        _wait_pending_store(1 - a)
+        # a dangling prefetch cannot exist (the last chunk's next-window
+        # equals its own window by construction), but balance defensively
+        @pl.when(cur[3] >= 0)
+        def _():
+            for cp in _load_cps(1 - a, cur[3]):
+                cp.wait()
 
-    return ensure_dw, ensure_ww, finalize
+    return ensure_dw, ensure_ww, active, finalize
 
 
-def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
-                        tin_ref, ph_ref, tril_ref, *rest,
+def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
+                        wd_ref, tin_ref, ph_ref, tril_ref, *rest,
                         vspan, dspan, kpad, num_topics, chunks, chunk,
                         nblocks, u24_operand, collapsed):
     rest = list(rest)
@@ -385,7 +454,7 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
      tb_buf, ph_buf, nkw_buf, sems, cur) = rest
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
-    ensure_dw, ensure_ww, finalize = stream_windows(
+    ensure_dw, ensure_ww, active, finalize = stream_windows(
         i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         nkw_in_ref, nkw_out, nkw_buf, [(ph_ref, ph_buf)])
 
@@ -404,7 +473,9 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
 
     for c in range(chunks):
         ensure_dw(wd_ref[0, c // 128, c % 128])
-        ensure_ww(ww_ref[0, c // 128, c % 128])
+        ensure_ww(ww_ref[0, c // 128, c % 128],
+                  wwn_ref[0, c // 128, c % 128])
+        slot = active()
 
         wrow = w_ref[0, c, :]
         drow = d_ref[0, c, :]
@@ -420,13 +491,13 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
         corr = oh_zold * flag[None, :]
         nd = nd_ext[:kpad, :] - corr
         if collapsed:
-            num = jax.lax.dot(ph_buf[:, :], oh_w.astype(jnp.float32),
+            num = jax.lax.dot(ph_buf[slot], oh_w.astype(jnp.float32),
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32) - corr
             den = nkc_ref[:, 0:1] - corr
             probs = (nd * (num / den)).astype(jnp.bfloat16)
         else:
-            ph = jax.lax.dot(ph_buf[:, :], oh_w,
+            ph = jax.lax.dot(ph_buf[slot], oh_w,
                              preferred_element_type=jnp.float32)
             probs = (nd * ph).astype(jnp.bfloat16)
         znew, total = cdf_draw(tril, probs, u24s[c])
@@ -439,7 +510,7 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wd_ref,
             delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         tb_buf[:kpad, :] = tb_buf[:kpad, :] + upd
-        nkw_buf[:, :] = nkw_buf[:, :] + jax.lax.dot_general(
+        nkw_buf[slot] = nkw_buf[slot] + jax.lax.dot_general(
             oh_w, oh_z, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -498,6 +569,8 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
                        ((0, 0), (0, wd_rows * 128 - chunks))
                        ).reshape(nb, wd_rows, 128)
 
+    # next chunk's w-window (lookahead for the prefetch); last keeps itself
+    ww_next = jnp.concatenate([ww_chunks[1:], ww_chunks[-1:]])
     tril_op = jnp.tril(jnp.ones((128, 128), jnp.bfloat16))
     dpad = ndk_table.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -510,6 +583,8 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunks, chunk),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd_rows, 128),
+                         lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, wd_rows, 128),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, wd_rows, 128),
@@ -530,17 +605,17 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         ],
         scratch_shapes=[
             pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),  # tb_buf
-            pltpu.VMEM((kpad, vspan), ph.dtype),                 # ph_buf
-            pltpu.VMEM((vspan, kpad), jnp.float32),              # nkw_buf
-            pltpu.SemaphoreType.DMA((5,)),
-            pltpu.SMEM((2,), jnp.int32),                         # cur
+            pltpu.VMEM((2, kpad, vspan), ph.dtype),              # ph_buf
+            pltpu.VMEM((2, vspan, kpad), jnp.float32),           # nkw_buf
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SMEM((6,), jnp.int32),                         # cur
         ],
     )
     # alias indices count ALL operands incl. the scalar-prefetch seed:
-    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wd3=5, table=6, ph=7, tril=8,
-    # [nkc], [u24], nkw = 9 + extras
+    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wwn3=5, wd3=6, table=7, ph=8,
+    # tril=9, [nkc], [u24], nkw = 10 + extras
     n_extra = len(nkc_ops) + len(u24_ops)
-    table_idx, nkw_idx = 6, 9 + n_extra
+    table_idx, nkw_idx = 7, 10 + n_extra
     z, table, nkw = pl.pallas_call(
         functools.partial(
             _pcgs_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
@@ -554,6 +629,6 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         grid_spec=grid_spec,
         input_output_aliases={table_idx: 1, nkw_idx: 2},
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(wd_chunks),
-      ndk_table, ph, tril_op, *nkc_ops, *u24_ops, nkw0)
+    )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(ww_next),
+      smem3(wd_chunks), ndk_table, ph, tril_op, *nkc_ops, *u24_ops, nkw0)
     return z, nkw[:, :num_topics].astype(jnp.int32), table
