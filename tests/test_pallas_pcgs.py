@@ -249,14 +249,16 @@ def _run_stream_sweep(c, K, z_flat, doc_mask, word, alpha, seed=123,
     return z_out, np.asarray(nkw), np.asarray(table_out)
 
 
-@pytest.mark.parametrize("K", [7, 300])
-def test_streamed_sweep_count_semantics(K):
+@pytest.mark.parametrize("K,docs,vocab", [(7, 300, 500), (300, 300, 500),
+                                          (7, 800, 1500)])
+def test_streamed_sweep_count_semantics(K, docs, vocab):
     """The HBM-streamed variant (d-window-major StreamBlocks, table/phi/
-    N_kw windows DMAed on window change) must satisfy the same count
-    semantics as the resident kernel — including multi-tile K (kpad=384)
-    where the VMEM gate would have forced the XLA fallback."""
+    N_kw windows DMAed on window change with lookahead prefetch) must
+    satisfy the same count semantics as the resident kernel — including
+    multi-tile K (kpad=384) and dense window grids (12 w-windows x 7
+    d-windows: ~80 switch/prefetch cycles)."""
     rng = np.random.default_rng(1)
-    c = _rand_corpus(1, docs=300, vocab=500)
+    c = _rand_corpus(1, docs=docs, vocab=vocab)
     V = c.num_types
     alpha = np.full(K, 0.4, np.float32)
     z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
