@@ -22,7 +22,7 @@ run ggs_kernel_checks python benchmarks/tpu_kernel_checks.py
 run pcgs_checks python benchmarks/tpu_pcgs_checks.py
 # 3. re-measure the matrix items the fused sweeps affect
 run matrix python benchmarks/matrix.py \
-  --only 2_pcgs,2d_pcgs,7,8_adlda,9,10_ppu_hdplda \
+  --only 1_cgs,2_pcgs,2d_pcgs,3b,3e,7,8_adlda,9,10_ppu_hdplda \
   --out BENCH_MATRIX.json
 # 4. headline bench (regression guard)
 run bench python bench.py

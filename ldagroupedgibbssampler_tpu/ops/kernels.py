@@ -153,11 +153,14 @@ def cgs_serial_sweep(key: jax.Array, w: jax.Array, doc_ids: jax.Array,
     num_types = nkw.shape[1]
     beta_v = beta * num_types
     n = w.shape[0]
-    keys = jax.random.split(key, n)
+    # one batched uniform per token, drawn OUTSIDE the scan: a per-step
+    # scalar threefry inside the scan serialises dozens of tiny ops per
+    # token and dominated the oracle's runtime
+    us = jax.random.uniform(key, (n,), dtype=jnp.float32)
 
     def step(carry, xs):
         ndk_c, nkw_c, nk_c = carry
-        kt, wt, dt, mt, zt = xs
+        ut, wt, dt, mt, zt = xs
         dec = mt.astype(jnp.int32)
         ndk_c = ndk_c.at[dt, zt].add(-dec)
         nkw_c = nkw_c.at[zt, wt].add(-dec)
@@ -165,7 +168,7 @@ def cgs_serial_sweep(key: jax.Array, w: jax.Array, doc_ids: jax.Array,
         scores = ((alpha + ndk_c[dt].astype(jnp.float32))
                   * (beta + nkw_c[:, wt].astype(jnp.float32))
                   / (beta_v + nk_c.astype(jnp.float32)))
-        u = jax.random.uniform(kt, (), dtype=jnp.float32) * jnp.sum(scores)
+        u = ut * jnp.sum(scores)
         z_new = jnp.argmax(jnp.cumsum(scores) > u).astype(jnp.int32)
         z_new = jnp.where(mt, z_new, zt)
         inc = dec
@@ -175,5 +178,5 @@ def cgs_serial_sweep(key: jax.Array, w: jax.Array, doc_ids: jax.Array,
         return (ndk_c, nkw_c, nk_c), z_new
 
     (ndk, nkw, nk), z_new = jax.lax.scan(
-        step, (ndk, nkw, nk), (keys, w, doc_ids, mask, z))
+        step, (ndk, nkw, nk), (us, w, doc_ids, mask, z))
     return ndk, nkw, nk, z_new
