@@ -102,8 +102,9 @@ def test_posterior_topic_count_moments_agree(synthetic_corpus):
         return s.mean(axis=0), s.std(axis=0)
 
     mean_c, std_c = chain_moments("collapsed")
-    mean_g, std_g = chain_moments("ggs")
-    joint = np.sqrt(std_c ** 2 + std_g ** 2) / np.sqrt(30) \
-        + 0.01 * np.abs(mean_c)
-    assert (np.abs(mean_c - mean_g) < 5 * joint + 5).all(), (
-        mean_c, mean_g, joint)
+    for scheme in ("ggs", "pcgs", "adlda", "lightpclda"):
+        mean_g, std_g = chain_moments(scheme)
+        joint = np.sqrt(std_c ** 2 + std_g ** 2) / np.sqrt(30) \
+            + 0.01 * np.abs(mean_c)
+        assert (np.abs(mean_c - mean_g) < 5 * joint + 5).all(), (
+            scheme, mean_c, mean_g, joint)
