@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
-    FLAG_ROWS, cdf_draw, stream_windows)
+    FLAG_ROWS, NBUF, cdf_draw, stream_windows)
 
 _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
@@ -425,11 +425,11 @@ def fused_lightlda_sweep_streamed(w3, d3, z_old, ndk_table, tw_vk, qw_vk,
         ],
         scratch_shapes=[
             pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),
-            pltpu.VMEM((2, kpad, vspan), jnp.bfloat16),
-            pltpu.VMEM((2, kpad, vspan), jnp.bfloat16),
-            pltpu.VMEM((2, vspan, kpad), jnp.float32),
-            pltpu.SemaphoreType.DMA((10,)),
-            pltpu.SMEM((6,), jnp.int32),
+            pltpu.VMEM((NBUF, kpad, vspan), jnp.bfloat16),
+            pltpu.VMEM((NBUF, kpad, vspan), jnp.bfloat16),
+            pltpu.VMEM((NBUF, vspan, kpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 + NBUF + NBUF * 3,)),
+            pltpu.SMEM((4 + NBUF,), jnp.int32),
         ],
     )
     # seed=0, w3=1, d3=2, z_old=3, ww3=4, wwn3=5, wd3=6, table=7, tw=8,

@@ -305,29 +305,39 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
     return (kpad + FLAG_ROWS) * nwin_d * dspan * 4
 
 
+NBUF = 3  # streamed-window buffer slots: active / prefetching / draining
+
+
 def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
                    nkw_in_ref, nkw_out, nkw_buf, word_pairs):
     """Window-switch DMA machinery shared by the streamed sweep kernels,
-    with DOUBLE-BUFFERED LOOKAHEAD PREFETCH of the w-window tables: the
+    with TRIPLE-BUFFERED LOOKAHEAD PREFETCH of the w-window tables: the
     host passes each chunk's NEXT w-window (`ensure_ww(wwc, wwn)`), so the
     word-table and N_kw loads for the upcoming window start one chunk
-    early into the inactive buffer slot and the switch itself only flips
+    early into the next rotation slot and the switch itself only flips
     the active slot + fires the previous window's N_kw store
     asynchronously. At NYTimes scale nearly every chunk switches windows,
-    so synchronous switch DMAs would dominate the sweep 5-8x.
+    so synchronous switch DMAs would dominate the sweep 5-8x. The third
+    slot exists so the prefetch never has to wait for the N_kw store
+    fired at the immediately preceding switch: slots rotate
+    a -> a+1 -> a+2, and the slot being refilled last stored TWO switches
+    ago (with 2 slots that store was ~1 chunk old and its ~1 us drain sat
+    on the critical path of every switch).
 
-    cur: SMEM (6,) int32 [current d-window, current w-window, active slot,
-    prefetched w-window (-1 none), per-slot pending-store w-window (-1
-    none) x2]. tb_buf [kpad*, dspan] holds the read-write n_dk table slice
-    (stored back on d-window change and at the end, synchronously — those
-    switches are rare); nkw_buf [2, vspan, kpad] the HBM read-modify-write
-    N_kw accumulator window; word_pairs a list of (hbm_ref,
-    vmem_buf[2, kpad*, vspan]) read-only word tables keyed by the
-    w-window. Semaphores: 0 tb store, 1 tb load, 2+s N_kw store of slot s,
-    4 + s*(P+1) + j load of pair j (j=P: N_kw) into slot s.
+    cur: SMEM (4 + NBUF,) int32 [current d-window, current w-window,
+    active slot, prefetched w-window (-1 none), per-slot pending-store
+    w-window (-1 none) x NBUF]. tb_buf [kpad*, dspan] holds the
+    read-write n_dk table slice (stored back on d-window change and at
+    the end, synchronously — those switches are rare); nkw_buf
+    [NBUF, vspan, kpad] the HBM read-modify-write N_kw accumulator
+    window; word_pairs a list of (hbm_ref, vmem_buf[NBUF, kpad*, vspan])
+    read-only word tables keyed by the w-window. Semaphores: 0 tb store,
+    1 tb load, 2+s N_kw store of slot s, 2 + NBUF + s*(P+1) + j load of
+    pair j (j=P: N_kw) into slot s.
     Returns (ensure_dw(wd), ensure_ww(wwc, wwn), active(), finalize()).
     Every started copy is waited exactly once: loads at the consuming
-    switch, stores before their slot's next load or in finalize.
+    switch, stores before a slot refill (same slot, or same WINDOW on
+    another slot — the N_kw read-modify-write hazard) or in finalize.
     """
     P = len(word_pairs)
 
@@ -337,8 +347,8 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         cur[1] = jnp.int32(-1)
         cur[2] = jnp.int32(0)
         cur[3] = jnp.int32(-1)
-        cur[4] = jnp.int32(-1)
-        cur[5] = jnp.int32(-1)
+        for s in range(NBUF):
+            cur[4 + s] = jnp.int32(-1)
 
     def tb_store():
         cp = pltpu.make_async_copy(
@@ -368,26 +378,34 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
     def _load_cps(slot, ww_t):
         cps = [pltpu.make_async_copy(
                    ref.at[:, pl.ds(ww_t * vspan, vspan)], buf.at[slot],
-                   sems.at[4 + slot * (P + 1) + j])
+                   sems.at[2 + NBUF + slot * (P + 1) + j])
                for j, (ref, buf) in enumerate(word_pairs)]
         cps.append(pltpu.make_async_copy(
             nkw_in_ref.at[pl.ds(ww_t * vspan, vspan), :],
-            nkw_buf.at[slot], sems.at[4 + slot * (P + 1) + P]))
+            nkw_buf.at[slot], sems.at[2 + NBUF + slot * (P + 1) + P]))
         return cps
 
-    def _wait_pending_store(slot):
-        @pl.when(cur[4 + slot] >= 0)
-        def _():
-            _nkw_store_cp(slot, cur[4 + slot]).wait()
-            cur[4 + slot] = jnp.int32(-1)
+    def _wait_store_hazards(slot, ww_t):
+        # before refilling `slot` with window ww_t: drain any pending
+        # store on that slot (buffer reuse) AND any pending store OF THE
+        # SAME WINDOW on another slot — the N_kw load reads the HBM
+        # region that store writes (read-modify-write ordering; reachable
+        # with 3 slots at window-reuse distance 2, e.g. X,Y,X)
+        for s in range(NBUF):
+            @pl.when((cur[4 + s] >= 0)
+                     & ((jnp.int32(s) == slot) | (cur[4 + s] == ww_t)))
+            def _(s=s):
+                _nkw_store_cp(jnp.int32(s), cur[4 + s]).wait()
+                cur[4 + s] = jnp.int32(-1)
 
     def ensure_ww(wwc, wwn):
         @pl.when(wwc != cur[1])
         def _():
             a = cur[2]
+            b = jax.lax.rem(a + jnp.int32(1), jnp.int32(NBUF))
             pre = cur[3]  # snapshot BEFORE the branches mutate it
-            # fire the outgoing window's N_kw store (waited before its
-            # slot's next load, or in finalize)
+            # fire the outgoing window's N_kw store (waited before a
+            # conflicting refill, or in finalize)
             @pl.when(cur[1] >= 0)
             def _():
                 _nkw_store_cp(a, cur[1]).start()
@@ -395,17 +413,16 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
 
             @pl.when(pre == wwc)
             def _():
-                # prefetched: loads are in flight in slot 1-a — wait them
-                for cp in _load_cps(1 - a, wwc):
+                # prefetched: loads are in flight in slot b — wait them
+                for cp in _load_cps(b, wwc):
                     cp.wait()
-                cur[2] = 1 - a
+                cur[2] = b
                 cur[3] = jnp.int32(-1)
 
             @pl.when(pre != wwc)
             def _():
-                # cold start (first window): synchronous load into 1-a
-                b = 1 - a
-                _wait_pending_store(b)
+                # cold start (first window): synchronous load into b
+                _wait_store_hazards(b, wwc)
                 cps = _load_cps(b, wwc)
                 for cp in cps:
                     cp.start()
@@ -414,11 +431,11 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
                 cur[2] = b
             cur[1] = wwc
 
-        # lookahead prefetch into the inactive slot
+        # lookahead prefetch into the next rotation slot
         @pl.when((wwn != cur[1]) & (cur[3] != wwn))
         def _():
-            b = 1 - cur[2]
-            _wait_pending_store(b)
+            b = jax.lax.rem(cur[2] + jnp.int32(1), jnp.int32(NBUF))
+            _wait_store_hazards(b, wwn)
             for cp in _load_cps(b, wwn):
                 cp.start()
             cur[3] = wwn
@@ -432,12 +449,19 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         cp = _nkw_store_cp(a, cur[1])
         cp.start()
         cp.wait()
-        _wait_pending_store(1 - a)
+        for s in range(NBUF):
+            # pending[a] is provably -1 here (drained when slot a was
+            # refilled), so this loop only ever waits the other slots
+            @pl.when(cur[4 + s] >= 0)
+            def _(s=s):
+                _nkw_store_cp(jnp.int32(s), cur[4 + s]).wait()
+                cur[4 + s] = jnp.int32(-1)
         # a dangling prefetch cannot exist (the last chunk's next-window
         # equals its own window by construction), but balance defensively
         @pl.when(cur[3] >= 0)
         def _():
-            for cp in _load_cps(1 - a, cur[3]):
+            b = jax.lax.rem(a + jnp.int32(1), jnp.int32(NBUF))
+            for cp in _load_cps(b, cur[3]):
                 cp.wait()
 
     return ensure_dw, ensure_ww, active, finalize
@@ -605,10 +629,10 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         ],
         scratch_shapes=[
             pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),  # tb_buf
-            pltpu.VMEM((2, kpad, vspan), ph.dtype),              # ph_buf
-            pltpu.VMEM((2, vspan, kpad), jnp.float32),           # nkw_buf
-            pltpu.SemaphoreType.DMA((8,)),
-            pltpu.SMEM((6,), jnp.int32),                         # cur
+            pltpu.VMEM((NBUF, kpad, vspan), ph.dtype),           # ph_buf
+            pltpu.VMEM((NBUF, vspan, kpad), jnp.float32),        # nkw_buf
+            pltpu.SemaphoreType.DMA((2 + NBUF + NBUF * 2,)),
+            pltpu.SMEM((4 + NBUF,), jnp.int32),                  # cur
         ],
     )
     # alias indices count ALL operands incl. the scalar-prefetch seed:
