@@ -196,21 +196,124 @@ def polya_urn_dirichlet(key: jax.Array, counts, beta: float):
     return safe, c == 0
 
 
-def vs_dirichlet(key: jax.Array, counts, beta: float, vs_prior: float = 0.5):
+def _lgamma_ratio(x, b):
+    """lgamma(x + b) - lgamma(x), stable in float32 for large x.
+
+    Direct differencing of gammaln loses all precision once x is large
+    (gammaln(1e6) ~ 1.3e7; float32 eps eats the O(b*log x) difference), so
+    for x >= 8 the ratio is computed from Stirling's series with log1p —
+    every term stays O(b log x):
+
+        (x - 1/2) log1p(b/x) + b log(x+b) - b
+        + [1/(12(x+b)) - 1/(12x)] - [1/(360(x+b)^3) - 1/(360 x^3)]
+
+    (truncation error < 3e-8 at x = 8). Below x = 8 the direct difference
+    is already accurate; x <= 0 inherits gammaln's +inf, preserving the
+    MALLET logGammaStirling(0) = +inf edge semantics.
+    """
+    lg = jax.scipy.special.gammaln
+    small = lg(x + b) - lg(x)
+    xs = jnp.maximum(x, 1.0)   # guard the asymptotic branch's 1/x at x<8
+    xb = xs + b
+    asym = ((xs - 0.5) * jnp.log1p(b / xs) + b * jnp.log(xb) - b
+            + (1.0 / (12.0 * xb) - 1.0 / (12.0 * xs))
+            - (1.0 / (360.0 * xb**3) - 1.0 / (360.0 * xs**3)))
+    return jnp.where(x < 8.0, small, asym)
+
+
+def vs_inclusion_prob(zero_phi, n_k, beta: float, vs_prior: float):
+    """Posterior inclusion probability p(I_kv = 1) for the VS Dirichlet.
+
+    Transliterates `VSDirichlet.calculateIndicatorProbIsOne`
+    (types/VSDirichlet.java:96-120): with a = zero_phi * beta (total prior
+    mass on the currently-zero coordinates), b = beta, n = n_k,
+
+        r = Gamma(a+b) Gamma(a+n) / (Gamma(a+b+n) Gamma(a)) * pi/(1-pi)
+        p = r / (1 + r) = sigmoid(log r)
+
+    Edge semantics match the Java/MALLET behaviour: logGammaStirling(0) is
+    +inf (its shift loop subtracts log(0)), so zero_phi == 0 with n_k > 0
+    gives p = 0 exactly. The one Java NaN corner (zero_phi == 0 AND
+    n_k == 0) is replaced by the principled limit p = vs_prior, which is
+    what the formula yields for every zero_phi > 0 at n_k == 0.
+    """
+    zero_phi = jnp.asarray(zero_phi, jnp.float32)
+    n_k = jnp.asarray(n_k, jnp.float32)
+    a = zero_phi * beta
+    log_odds = jnp.log(vs_prior) - jnp.log1p(-vs_prior)
+    # log_r = [lgG(a+b) - lgG(a)] - [lgG(a+n+b) - lgG(a+n)]: differencing
+    # raw float32 gammaln at n_k ~ 1e6 loses ~all precision, so the ratio
+    # is computed cancellation-free (_lgamma_ratio).
+    log_r = (_lgamma_ratio(a, beta) - _lgamma_ratio(a + n_k, beta)
+             + log_odds)
+    # a == 0, n_k > 0: lg(a) = +inf -> log_r = -inf -> p = 0 (Java parity).
+    log_r = jnp.where((zero_phi <= 0) & (n_k > 0), -jnp.inf, log_r)
+    p = jax.nn.sigmoid(log_r)
+    return jnp.where(n_k <= 0, vs_prior, p)
+
+
+def vs_dirichlet(key: jax.Array, counts, beta: float, vs_prior: float = 0.5,
+                 previous_phi=None, sequential: bool = False):
     """Variable-selection (spike-and-slab) Dirichlet row draw.
 
-    Mirrors types/VSDirichlet.java used by NZVSSpaliasUncollapsedParallelLDA:
-    coordinates with zero counts are included in the slab with posterior
-    inclusion probability driven by `vs_prior`; excluded coordinates are exact
-    zeros. Coordinates with positive counts are always included.
+    Mirrors `VSDirichlet.nextDistribution` (types/VSDirichlet.java:35-93,
+    used at NZVSSpaliasUncollapsedParallelLDA.java:511): coordinates with
+    positive counts always draw Gamma(count + beta); zero-count coordinates
+    are included with the posterior inclusion probability
+    `vs_inclusion_prob` — a log-gamma ratio driven by the number of
+    currently-zero phi entries in the row (`zeroPhi`) and the topic token
+    total n_k — and excluded coordinates are exact zeros.
+
+    The Java updates `zeroPhi` *sequentially* as it walks the row (a flip at
+    coordinate i changes the probability used at i+1). The default here is
+    the vectorised systematic-scan form: zeroPhi is computed once per row
+    from `previous_phi` and held fixed for the whole row — every inclusion
+    indicator then draws in parallel. `sequential=True` reproduces the
+    exact Java chain with a lax.scan over coordinates (vectorised over
+    rows); it is the parity-test path, ~V times more sequential steps.
+
+    `previous_phi=None` means "previous draw was fully dense" (zeroPhi = 0),
+    matching a freshly-initialised dense phi matrix.
 
     Returns (row_probs, zero_mask).
     """
     counts = jnp.asarray(counts, jnp.float32)
+    n_k = jnp.sum(counts, axis=-1, keepdims=True)
+    if previous_phi is None:
+        zero_phi0 = jnp.zeros_like(n_k)
+        prev_zero = jnp.zeros(counts.shape, bool)
+    else:
+        prev_zero = jnp.asarray(previous_phi) == 0.0
+        zero_phi0 = jnp.sum(prev_zero, axis=-1, keepdims=True).astype(
+            jnp.float32)
     k_inc, k_dir = jax.random.split(key)
-    include = (counts > 0) | (
-        jax.random.uniform(k_inc, counts.shape) < vs_prior)
     g = _gamma_marsaglia(k_dir, counts + beta)
+    u = jax.random.uniform(k_inc, counts.shape)
+
+    if sequential:
+        # Exact Java chain: scan coordinates, carrying the running zeroPhi
+        # per row. counts/u/prev_zero move to [V, ...rows] for the scan.
+        def step(zero_phi, xs):
+            c_i, u_i, pz_i = xs
+            p = vs_inclusion_prob(zero_phi, n_k[..., 0], beta, vs_prior)
+            inc_zero = u_i <= p          # Java: U > p  -> exclude
+            include = (c_i > 0) | inc_zero
+            zero_count_i = c_i == 0
+            # zeroPhi++ when a previously-nonzero coord drew I=0;
+            # zeroPhi-- when a previously-zero coord drew I=1.
+            zero_phi = (zero_phi
+                        + jnp.where(zero_count_i & ~inc_zero & ~pz_i, 1.0, 0.0)
+                        - jnp.where(zero_count_i & inc_zero & pz_i, 1.0, 0.0))
+            return zero_phi, include
+
+        xs = (jnp.moveaxis(counts, -1, 0), jnp.moveaxis(u, -1, 0),
+              jnp.moveaxis(prev_zero, -1, 0))
+        _, include = jax.lax.scan(step, zero_phi0[..., 0], xs)
+        include = jnp.moveaxis(include, 0, -1)
+    else:
+        p = vs_inclusion_prob(zero_phi0, n_k, beta, vs_prior)
+        include = (counts > 0) | (u <= p)
+
     g = jnp.where(include, jnp.maximum(g, DIRICHLET_FLOOR), 0.0)
     total = jnp.sum(g, axis=-1, keepdims=True)
     probs = g / jnp.maximum(total, DIRICHLET_FLOOR)

@@ -151,3 +151,124 @@ def test_vs_dirichlet_inclusion():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
     # positive-count coords always included
     assert not np.asarray(zero_mask)[:, [0, 3]].any()
+
+
+# --- VSDirichlet parity vs a NumPy transliteration of the Java -----------
+# (VSDirichlet.java:35-120; VERDICT round-1 item 1)
+
+def _java_vs_inclusion_prob(zero_phi, n_k, beta, vs_prior):
+    """NumPy transliteration of calculateIndicatorProbIsOne
+    (VSDirichlet.java:96-120). MALLET's logGammaStirling(0) is +inf (its
+    shift loop subtracts log(0)), reproduced via the z<=0 guard."""
+    from scipy.special import gammaln
+
+    def lg(z):
+        return np.inf if z <= 0 else gammaln(z)
+
+    a = zero_phi * beta
+    r = np.exp(lg(a + beta) + lg(a + n_k) - lg(a + beta + n_k) - lg(a)) \
+        * vs_prior / (1.0 - vs_prior)
+    return r / (1.0 + r)   # nan propagates like the Java (handled by caller)
+
+
+def _java_vs_next_distribution(rng, counts, previous_phi, beta, vs_prior):
+    """NumPy transliteration of VSDirichlet.nextDistribution
+    (VSDirichlet.java:35-93): sequential zeroPhi chain over the row."""
+    n_k = int(counts.sum())
+    zero_phi = int((previous_phi == 0.0).sum())
+    phi = np.zeros_like(previous_phi)
+    for i in range(len(counts)):
+        if counts[i] != 0:
+            phi[i] = rng.gamma(counts[i] + beta)
+        else:
+            u = rng.uniform()
+            p = _java_vs_inclusion_prob(zero_phi, n_k, beta, vs_prior)
+            if u > p:    # NaN compares False -> include branch, like Java
+                if previous_phi[i] != 0.0:
+                    zero_phi += 1
+                phi[i] = 0.0
+            else:
+                if previous_phi[i] == 0.0:
+                    zero_phi -= 1
+                phi[i] = rng.gamma(counts[i] + beta)
+    return phi / phi.sum()
+
+
+def test_vs_inclusion_prob_matches_java_formula():
+    """vs_inclusion_prob == the Java log-gamma-ratio on a (zeroPhi, n_k)
+    grid, including the zeroPhi=0 -> p=0 edge."""
+    beta, vs_prior = 0.05, 0.3
+    for zero_phi in [0, 1, 3, 10, 100, 5000]:
+        for n_k in [1, 5, 50, 2000]:
+            got = float(rnd.vs_inclusion_prob(
+                jnp.float32(zero_phi), jnp.float32(n_k), beta, vs_prior))
+            want = _java_vs_inclusion_prob(zero_phi, n_k, beta, vs_prior)
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7,
+                                       err_msg=f"zp={zero_phi} nk={n_k}")
+    # empty-topic limit: formula gives exactly vs_prior for zero_phi > 0
+    got = float(rnd.vs_inclusion_prob(jnp.float32(4), jnp.float32(0),
+                                      beta, vs_prior))
+    np.testing.assert_allclose(got, vs_prior, rtol=1e-5)
+
+
+def test_vs_dirichlet_sequential_matches_java_distribution():
+    """Inclusion frequencies + phi moments of the sequential JAX path match
+    the Java transliteration on a fixed counts row (chi-square style,
+    VERDICT item 1 'done' criterion)."""
+    v, reps = 24, 4000
+    counts = np.zeros(v, np.float32)
+    counts[0], counts[5] = 6, 3
+    prev = np.full(v, 1.0 / v, np.float32)
+    prev[np.arange(2, v, 3)] = 0.0           # a third previously zero
+    beta, vs_prior = 0.1, 0.4
+
+    rng = np.random.default_rng(7)
+    java = np.stack([
+        _java_vs_next_distribution(rng, counts, prev, beta, vs_prior)
+        for _ in range(reps)])
+
+    probs, zero_mask = rnd.vs_dirichlet(
+        KEY, jnp.tile(counts, (reps, 1)), beta, vs_prior,
+        previous_phi=jnp.tile(prev, (reps, 1)), sequential=True)
+    ours = np.asarray(probs)
+
+    zero_coords = counts == 0
+    inc_java = (java[:, zero_coords] > 0).mean(0)
+    inc_ours = (~np.asarray(zero_mask))[:, zero_coords].mean(0)
+    # 4-sigma band for a two-sample proportion at reps=4000 is ~0.04
+    np.testing.assert_allclose(inc_ours, inc_java, atol=0.045)
+    # phi moments on the always-included coords and total zero-coord mass
+    np.testing.assert_allclose(ours[:, ~zero_coords].mean(0),
+                               java[:, ~zero_coords].mean(0), atol=0.02)
+    np.testing.assert_allclose(ours[:, zero_coords].sum(-1).mean(),
+                               java[:, zero_coords].sum(-1).mean(), atol=0.02)
+
+
+def test_vs_dirichlet_vectorised_close_to_sequential():
+    """The default vectorised (fixed per-row zeroPhi) form stays within a
+    small drift band of the exact sequential chain — the documented
+    systematic-scan approximation."""
+    v, reps = 24, 4000
+    counts = np.zeros(v, np.float32)
+    counts[0], counts[5] = 6, 3
+    prev = np.full(v, 1.0 / v, np.float32)
+    prev[np.arange(2, v, 3)] = 0.0
+    beta, vs_prior = 0.1, 0.4
+    cj = jnp.tile(counts, (reps, 1))
+    pj = jnp.tile(prev, (reps, 1))
+    _, zm_seq = rnd.vs_dirichlet(KEY, cj, beta, vs_prior, previous_phi=pj,
+                                 sequential=True)
+    _, zm_vec = rnd.vs_dirichlet(KEY, cj, beta, vs_prior, previous_phi=pj)
+    zero_coords = counts == 0
+    f_seq = (~np.asarray(zm_seq))[:, zero_coords].mean()
+    f_vec = (~np.asarray(zm_vec))[:, zero_coords].mean()
+    assert abs(f_seq - f_vec) < 0.05, (f_seq, f_vec)
+
+
+def test_vs_dirichlet_bootstrap_dense_prev_excludes_all_zeros():
+    """previous_phi=None (dense bootstrap, zeroPhi=0): the Java posterior
+    gives p(I=1) = 0, so every zero-count coord must come out zero."""
+    counts = jnp.asarray([[5, 0, 0, 3, 0, 0, 0, 0]] * 8, jnp.float32)
+    _, zero_mask = rnd.vs_dirichlet(KEY, counts, beta=0.1, vs_prior=0.5)
+    assert np.asarray(zero_mask)[:, [1, 2, 4, 5, 6, 7]].all()
+    assert not np.asarray(zero_mask)[:, [0, 3]].any()
