@@ -55,6 +55,17 @@ class LDAConfig:
     hdp_gamma: float = 1.0             # HDP_GAMMA_DEFAULT
     hdp_start_topics: int = 1          # HDP_START_TOPICS_DEFAULT
     hdp_k_percentile: float = 0.8      # HDP_K_PERCENTILE
+    # psi sampler for the ppu_hdplda scheme: "gem" (GEMBasedPsiSampler,
+    # the reference default, PoissonPolyaUrnHDPLDA.java:116) or "poisson"
+    # (PoissonBasedPsiSampler :342-400).
+    hdp_psi_sampler: str = "gem"
+    # new-topic index prior Gamma: "geometric" (GeometricGamma(1/(1+gamma)),
+    # the reference default :111) or "uniform" (UniformGamma :505-520).
+    hdp_gamma_dist: str = "geometric"
+    # static per-iteration budget of topic-birth candidate draws (the
+    # Poisson(gamma) count is truncated here to keep shapes static; at the
+    # default gamma=1, P(n_add > 32) < 1e-35).
+    hdp_birth_budget: int = 32
 
     # --- run control ------------------------------------------------------
     exec_time: int = 10                # EXEC_TIME_DEFAULT (seconds budget)

@@ -22,7 +22,8 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _SRC = os.path.join(_NATIVE_DIR, "fast_tokenizer.cpp")
 _LIB = os.path.join(_NATIVE_DIR, "libfasttok.so")
 
-_MODES = {"simple": 0, "numeric": 1, "connector": 2}
+_MODES = {"simple": 0, "numeric": 1, "connector": 2,
+          "connector_numeric": 3}
 _lock = threading.Lock()
 _lib = None
 _build_failed = False

@@ -102,8 +102,11 @@ def build_corpus(raw_docs: list[RawDoc], stoplist_path: str | None = None,
     `native=False` forces the pure-Python reference implementation.
     """
     stoplist = load_stoplist(stoplist_path)
+    # The C++ path classifies ASCII only; non-ASCII corpora need the
+    # Python tokenizer's full unicodedata categories.
     if (native and vocab is None and tfidf_vocab_size <= 0
-            and min_token_len == 2):
+            and min_token_len == 2
+            and all(d.text.isascii() for d in raw_docs)):
         from ldagroupedgibbssampler_tpu.corpus import native_loader
         if native_loader.native_available():
             return _build_corpus_native(raw_docs, stoplist, rare_threshold,

@@ -597,7 +597,11 @@ class TpuLDASampler:
                     f"paranoid: invariant {name} violated at iteration "
                     f"{int(st.iteration)}")
         phi_sums = jnp.sum(self._phi_kv(st), axis=-1)
-        if not bool(jnp.all(jnp.abs(phi_sums - 1.0) < 1e-3)):
+        # Inactive HDP topics have all-zero phi rows by design
+        # (PoissonPolyaUrnHLDA.java:810-819); every other row must
+        # normalise (ensureConsistentPhi).
+        if not bool(jnp.all((jnp.abs(phi_sums - 1.0) < 1e-3)
+                            | (phi_sums == 0.0))):
             raise AssertionError("paranoid: phi rows not normalised "
                                  "(ensureConsistentPhi)")
         # recount N_kw from z (ensureConsistentTopicTypeCounts proper,

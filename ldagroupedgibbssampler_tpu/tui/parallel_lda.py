@@ -25,6 +25,7 @@ import numpy as np
 from ldagroupedgibbssampler_tpu.config import parse_args, parse_ini
 from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
 from ldagroupedgibbssampler_tpu.corpus import load_dataset
+from ldagroupedgibbssampler_tpu.corpus.tokenizer import tokenizer_mode
 from ldagroupedgibbssampler_tpu.evaluation.topwords import (
     top_relevance_words, top_words)
 from ldagroupedgibbssampler_tpu.models.registry import create_model
@@ -39,8 +40,8 @@ def run_subconfig(cfg: LDAConfig, logger: RunLogger, common_seed: int,
         cfg.dataset, stoplist_path=cfg.stoplist,
         rare_threshold=cfg.rare_threshold,
         tfidf_vocab_size=cfg.tfidf_vocab_size, file_regex=cfg.file_regex,
-        tokenizer_mode="numeric" if cfg.keep_numbers else (
-            "connector" if cfg.keep_connecting_punctuation else "simple"),
+        tokenizer_mode=tokenizer_mode(cfg.keep_numbers,
+                                      cfg.keep_connecting_punctuation),
         max_doc_tokens=cfg.max_doc_buf_size)
     print(f"Loaded {corpus.num_docs} documents, vocab {corpus.num_types}, "
           f"{corpus.num_tokens} tokens in {time.time()-t_load:.1f}s")

@@ -8,15 +8,21 @@
 // load off the critical path. Exposed through a plain C ABI for ctypes
 // (no pybind11 in this image).
 //
-// Semantics match corpus/tokenizer.py::tokenize exactly (the Python
-// implementation remains the fallback and the executable spec):
-//   - lowercase ASCII
-//   - token chars: [a-z]; mode "numeric" adds [0-9]; mode "connector"
-//     keeps internal '-' and '_' (KeepConnectorPunctuationTokenizerLarge)
-//   - tokens shorter than 2 chars are dropped (reference tokenizers drop
-//     single chars)
-//   - stoplist filtering
-//   - per-document token cap (max_doc_buf_size)
+// Semantics match corpus/tokenizer.py::tokenize exactly on ASCII text
+// (the Python implementation remains the fallback and the executable
+// spec; callers route non-ASCII text to Python). MALLET's tokenizers
+// three-way classify characters (SimpleTokenizerLarge.java:67-118):
+//   - token chars: [a-z]; mode "numeric"/"connector_numeric" adds [0-9]
+//     (NumericAlsoTokenizer.java:96); mode "connector"/
+//     "connector_numeric" adds '_' (Pc connector punctuation,
+//     KeepConnectorPunctuationTokenizerLarge.java:70)
+//   - delimiters: whitespace + punctuation incl. '-' (DASH_PUNCTUATION
+//     always delimits); '_' delimits outside connector modes
+//   - transparent (skipped WITHOUT breaking the token): digits outside
+//     numeric modes, math/currency/modifier symbols (+ < = > | ~ $ ^ `),
+//     controls — the reference's silent else branch (:111-115)
+//   - tokens shorter than 2 chars are dropped
+//   - stoplist filtering; per-document token cap (max_doc_buf_size)
 //
 // Build: g++ -O3 -march=native -shared -fPIC fast_tokenizer.cpp -o libfasttok.so
 
@@ -36,13 +42,27 @@ struct Corpus {
   std::string vocab_blob;            // '\n'-joined, built on demand
 };
 
-inline bool is_token_char(unsigned char c, int mode) {
-  if (c >= 'a' && c <= 'z') return true;
-  if (mode == 1 && c >= '0' && c <= '9') return true;  // numeric
-  return false;
-}
+enum CharClass { kTransparent = 0, kToken = 1, kDelim = 2 };
 
-inline bool is_connector(unsigned char c) { return c == '-' || c == '_'; }
+// mode: 0=simple, 1=numeric, 2=connector, 3=connector_numeric.
+inline CharClass classify(unsigned char c, int mode) {
+  const bool keep_num = (mode == 1 || mode == 3);
+  const bool keep_conn = (mode == 2 || mode == 3);
+  if (c >= 'a' && c <= 'z') return kToken;
+  if (c >= '0' && c <= '9') return keep_num ? kToken : kTransparent;
+  if (c == '_') return keep_conn ? kToken : kDelim;
+  switch (c) {
+    case ' ': case '\t': case '\n': case '\r': case '\f': case '\v':
+    case '-': case '!': case '"': case '#': case '%': case '&':
+    case '\'': case '(': case ')': case '*': case ',': case '.':
+    case '/': case ':': case ';': case '?': case '@': case '[':
+    case '\\': case ']': case '{': case '}':
+      return kDelim;
+    default:
+      // + < = > | ~ $ ^ ` and controls: MALLET's transparent else branch.
+      return kTransparent;
+  }
+}
 
 }  // namespace
 
@@ -88,17 +108,12 @@ void* tokenize_corpus(const char* texts, const int64_t* text_offsets,
     while (p <= end) {
       unsigned char c = (p < end) ? static_cast<unsigned char>(*p) : ' ';
       unsigned char lc = static_cast<unsigned char>(tolower(c));
-      // connector mode keeps -/_ only inside a started token; trailing
-      // connectors are trimmed below — matches the Python regex
-      // [a-z](?:[a-z\-_]*[a-z])?
-      bool keep = is_token_char(lc, mode == 1 ? 1 : 0) ||
-                  (mode == 2 && is_connector(lc) && !tok.empty());
-      if (keep) {
+      CharClass cls = classify(lc, mode);
+      if (cls == kToken) {
         tok.push_back(static_cast<char>(lc));
+      } else if (cls == kTransparent) {
+        // skipped without delimiting (digits in simple mode, symbols)
       } else if (!tok.empty()) {
-        // connector mode: trim trailing connectors
-        while (!tok.empty() && is_connector(static_cast<unsigned char>(tok.back())))
-          tok.pop_back();
         if (tok.size() >= 2 && !stop.count(tok) &&
             (max_doc_tokens <= 0 || doc_count < max_doc_tokens)) {
           auto it = vocab_ids.find(tok);

