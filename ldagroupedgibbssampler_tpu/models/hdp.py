@@ -55,7 +55,7 @@ from ldagroupedgibbssampler_tpu.ops import random as rnd
 from ldagroupedgibbssampler_tpu.ops.kernels import doc_sequential_sweep
 
 _EPS = 1e-30
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # np scalar: no backend init at import time
 
 
 class HDPState(NamedTuple):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ldagroupedgibbssampler_tpu.models.base import LDAState
 from ldagroupedgibbssampler_tpu.models.pcgs import UncollapsedParallelLDA
@@ -25,7 +26,7 @@ from ldagroupedgibbssampler_tpu.ops import counts as count_ops
 from ldagroupedgibbssampler_tpu.ops import random as rnd
 
 _EPS = 1e-30
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # np scalar: no backend init at import time
 
 
 class PolyaUrnSpaliasLDA(UncollapsedParallelLDA):

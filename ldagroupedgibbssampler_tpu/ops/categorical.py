@@ -17,8 +17,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # np scalar: no backend init at import time
 
 
 def gumbel_categorical(key: jax.Array, log_scores: jax.Array,
