@@ -255,6 +255,23 @@ def main(argv=None):
             "tokens_per_sec": round(_throughput(m5, corpus,
                                                 max(3, iters // 2)), 1)}
 
+    # 5b. GGS at K=4096 (VERDICT item 6: prove the large-K story past
+    #     K=1000). The streamed dense kernel's cost model is linear in K
+    #     (one bf16 [token, K] score matmul per vocab window); this row
+    #     measures where the dense path lands at the reference alias
+    #     machinery's target regime. alpha scaled as 50/K like the other
+    #     large-K rows.
+    if want("5b_ggs_20ng_k4096"):
+        cfg5b = LDAConfig(scheme="ggs", topics=4096, alpha=50.0 / 4096,
+                          beta=0.01, seed=2019, exec_time=-1)
+        m5b = create_model(cfg5b)
+        m5b.add_instances(corpus)
+        report["results"]["5b_ggs_20ng_k4096"] = {
+            "tokens_per_sec": round(_throughput(m5b, corpus, 3), 1),
+            "stream_theta": bool(m5b._use_fused_zdraw()
+                                 and m5b._zdraw_stream_theta())}
+        del m5b
+
     # 7/8/9. other sampler families at 20NG scale (single chip);
     # lightpclda at K=1000 documents the O(1)-per-token MH scaling (1.6x
     # cost for 10x K) even though dense GGS still wins in absolute terms

@@ -1,0 +1,140 @@
+"""PubMed-scale dress rehearsal for vocab_sharded_ggs (VERDICT item 9).
+
+PERF.md's scaling envelope says PubMed (D=8.2M, V=141,043, N≈730M —
+resources/datasets/README.txt) exceeds one 16 GB chip and is the natural
+target for the vocabulary-sharded GGS over 8 chips. That was analysis
+only; this script actually builds the shapes:
+
+  1. synthesises a corpus with PubMed's vocabulary size and document
+     length distribution, subsampled in document count to fit the test
+     host (default ~7.3M tokens = 1% of PubMed; --full_tokens overrides);
+  2. runs VocabShardedGGS (K=100) on an 8-device mesh (virtual CPU
+     devices when real chips are absent), one compile + 2 iterations;
+  3. verifies global count conservation and per-shard token balance;
+  4. re-derives the full-scale per-chip memory math from the measured
+     per-token device residency and records projected bytes/chip.
+
+Writes PUBMED_REHEARSAL.json (the MULTICHIP-style artifact).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    PYTHONPATH=/root/repo python benchmarks/pubmed_rehearsal.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=7_300_000,
+                    help="subsampled token budget (full PubMed: 730M)")
+    ap.add_argument("--topics", type=int, default=100)
+    ap.add_argument("--out", default="PUBMED_REHEARSAL.json")
+    args = ap.parse_args(argv)
+
+    # force the 8-virtual-device CPU mesh if no multi-chip backend
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    if jax.device_count() < 8:
+        raise SystemExit("need 8 devices (set JAX_PLATFORMS=cpu "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS)
+
+    # PubMed stats (datasets/README.txt): D=8.2M, V=141,043, N≈730M
+    V_FULL, D_FULL, N_FULL = 141_043, 8_200_000, 730_000_000
+    mean_len = N_FULL / D_FULL                       # ≈ 89 tokens/doc
+    d_sub = max(64, int(round(args.tokens / mean_len)))
+    rng = np.random.default_rng(7)
+    lengths = np.maximum(3, rng.poisson(mean_len, d_sub)).astype(np.int64)
+    n = int(lengths.sum())
+    ranks = np.arange(1, V_FULL + 1, dtype=np.float64)
+    probs = (1.0 / ranks ** 1.05)
+    probs /= probs.sum()
+    tokens = rng.choice(V_FULL, size=n, p=probs).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    corpus = Corpus(tokens=tokens, doc_offsets=offsets,
+                    vocab=[f"w{i}" for i in range(V_FULL)])
+    print(f"corpus: D={d_sub} V={V_FULL} N={n} "
+          f"({100.0 * n / N_FULL:.2f}% of PubMed tokens, full vocab)")
+
+    mesh = make_mesh((8,), ("data",))
+    cfg = LDAConfig(scheme="ggs", topics=args.topics, alpha=0.5, beta=0.01,
+                    seed=2019, exec_time=-1, topic_interval=0)
+    t0 = time.time()
+    model = VocabShardedGGS(cfg, mesh=mesh)
+    model.add_instances(corpus)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    model.sample(1)           # compile + first step
+    t_compile = time.time() - t0
+    t0 = time.time()
+    model.sample(2)
+    t_iter = (time.time() - t0) / 2
+
+    total = int(np.asarray(jax.jit(lambda s: jnp.sum(s.nkw))(model.state)))
+    assert total == corpus.num_tokens, (total, corpus.num_tokens)
+    ndk_total = int(np.asarray(
+        jax.jit(lambda s: jnp.sum(s.ndk))(model.state)))
+    assert ndk_total == corpus.num_tokens, (ndk_total, corpus.num_tokens)
+
+    # per-shard token balance from the window partition
+    shard_tokens = model.shard_token_counts
+    imb = max(shard_tokens) / max(1, (sum(shard_tokens) / len(shard_tokens)))
+
+    # full-scale projection: per-token padded-slot bytes measured from the
+    # shard blocks; theta/ndk replicated per chip (PERF.md envelope)
+    pad_slots = sum(model.shard_pad_slots)
+    bytes_per_token = 13.0 * pad_slots / max(1, n)   # 13 B/padded slot
+    k = args.topics
+    kpad = max(128, -(-k // 128) * 128)
+    proj = {
+        "tokens_per_chip_bytes": int(N_FULL / 8 * bytes_per_token),
+        "theta_bf16_bytes": int(D_FULL * kpad * 2),
+        "ndk_int32_bytes": int(D_FULL * k * 4),
+        "ndk_int16_bytes": int(D_FULL * k * 2),
+        "phi_nkw_shard_bytes": int(V_FULL / 8 * k * (4 + 4)),
+    }
+    proj["total_per_chip_int32_ndk"] = (
+        proj["tokens_per_chip_bytes"] + proj["theta_bf16_bytes"]
+        + proj["ndk_int32_bytes"] + proj["phi_nkw_shard_bytes"])
+    proj["total_per_chip_int16_ndk"] = (
+        proj["tokens_per_chip_bytes"] + proj["theta_bf16_bytes"]
+        + proj["ndk_int16_bytes"] + proj["phi_nkw_shard_bytes"])
+    hbm = 16 * 2 ** 30
+    report = {
+        "platform": str(jax.devices()[0]), "num_devices": 8,
+        "subsample": {"docs": d_sub, "vocab": V_FULL, "tokens": n,
+                      "fraction_of_pubmed": round(n / N_FULL, 4)},
+        "build_seconds": round(t_build, 1),
+        "first_step_seconds": round(t_compile, 1),
+        "seconds_per_iteration": round(t_iter, 2),
+        "count_conservation_ok": True,
+        "shard_tokens": shard_tokens,
+        "shard_imbalance_maxmean": round(imb, 3),
+        "measured_bytes_per_token": round(bytes_per_token, 2),
+        "pubmed_projection_bytes_per_chip": proj,
+        "fits_16gb_hbm_int32_ndk":
+            proj["total_per_chip_int32_ndk"] < hbm,
+        "fits_16gb_hbm_int16_ndk":
+            proj["total_per_chip_int16_ndk"] < hbm,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

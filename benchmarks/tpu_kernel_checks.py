@@ -13,8 +13,18 @@ Last run (2026-08-19, v5e): onehot/keep/nkw ok for all (precise, stream)
 combinations incl. K=1000; docmask kept-old ok; chi2 = 77.3 (dof 99) at
 K=100 and 28.0 (dof ~22, tail-binned) for the K=1000 streamed path.
 """
+import sys
+
 import numpy as np
 import jax  # noqa: F401
+
+FAILURES: list[str] = []
+
+
+def check(name, ok):
+    if not bool(ok):
+        FAILURES.append(name)
+    return bool(ok)
 import jax.numpy as jnp
 
 from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
@@ -68,6 +78,7 @@ for precise in (False, True):
         ref = np.zeros((blocks.nwin_w * 512, K), np.int64)
         np.add.at(ref, (w_glob[mask], z[mask]), 1)
         cnt_ok = (ref == nkw.astype(np.int64)).all()
+        check(f"onehot[p={precise},s={stream}]", ok and keep and cnt_ok)
         print(f"precise={precise} stream={stream}: onehot z ok={ok} "
               f"keep-old={keep} nkw ok={cnt_ok} total={nkw.sum()} "
               f"expect={mask.sum()}")
@@ -84,7 +95,8 @@ z, nkw = fused_zdraw_nkw(
 z = np.asarray(z)
 kept = mask & ~sel[doc_ids]
 drawn = mask & sel[doc_ids]
-print("docmask: kept-old ok =", (z[kept] == np.asarray(z_old)[kept]).all(),
+print("docmask: kept-old ok =",
+      check("docmask", (z[kept] == np.asarray(z_old)[kept]).all()),
       " drawn fraction changed =",
       (z[drawn] != np.asarray(z_old)[drawn]).mean())
 
@@ -107,6 +119,8 @@ for r in range(R):
     counts[int(np.asarray(zz)[tok_b, tok_c, tok_t])] += 1
 exp = p * R
 chi2 = ((counts - exp) ** 2 / np.maximum(exp, 1e-9)).sum()
+# 5-sigma band for chi-square(dof): dof + 5*sqrt(2*dof)
+check("chi2_k100", chi2 < (K - 1) + 5 * np.sqrt(2.0 * (K - 1)))
 print(f"chi2={chi2:.1f} (dof~{K-1}, mean expected {K-1})")
 
 # ---- test 4: large-K streamed path — exactness + chi-square at K=1000 --
@@ -127,6 +141,7 @@ for stream in (False, True):
     ok = (z[mask] == doc_topic2[doc_ids][mask]).all()
     keep = (z[~mask] == np.asarray(z_old2)[~mask]).all()
     total_ok = int(np.asarray(nkw2).sum()) == int(mask.sum())
+    check(f"onehot_k1000[s={stream}]", ok and keep and total_ok)
     print(f"K=1000 stream={stream}: onehot z ok={ok} keep-old={keep} "
           f"nkw total ok={total_ok}")
 
@@ -152,4 +167,11 @@ nbig = int(np.searchsorted(-exp2, -2.0))
 obs_b = np.concatenate([obs2[:nbig], [obs2[nbig:].sum()]])
 exp_b = np.concatenate([exp2[:nbig], [exp2[nbig:].sum()]])
 chi2b = ((obs_b - exp_b) ** 2 / np.maximum(exp_b, 1e-9)).sum()
+dof_b = len(exp_b) - 1
+check("chi2_k1000", chi2b < dof_b + 5 * np.sqrt(2.0 * dof_b))
 print(f"K=1000 streamed chi2={chi2b:.1f} (dof~{len(exp_b)-1})")
+
+if FAILURES:
+    print("FAILED checks:", FAILURES)
+    sys.exit(1)
+print("ALL CHECKS PASSED")

@@ -205,6 +205,35 @@ assert sps.chi2.sf(chi2b, Kd - 1) > 1e-4, (obs2, p * Dd)
 print(f"4b. streamed chi-square vs exact conditional: ok "
       f"(chi2={chi2b:.1f})")
 
+# ---- 4b2. X,Y,X window-reuse hazard schedule (ADVICE round-1 item 2) ----
+# The streamed kernel's NBUF=3 w-window slots admit a cross-slot store
+# hazard when a w-window is revisited at reuse distance 2 — i.e. the
+# schedule ...(wX),(wY),(wX)... — which only occurs when a d-window
+# boundary wraps the w-window sequence with exactly 2 populated w-windows.
+# Interpret-mode tests run DMAs synchronously and cannot exercise the
+# async ordering; this on-chip case does. Build a corpus with exactly
+# 2 w-windows x 2 d-windows, fully populated, so EVERY w-window reuse is
+# at distance 2, and run several sweeps.
+Dx, Vx, Kx = 200, 200, 25   # vspan=dspan=128 -> 2x2 windows
+rngx = np.random.default_rng(17)
+docs_x = [list(rngx.integers(0, Vx, 40)) for _ in range(Dx)]
+cx = Corpus.from_token_lists(docs_x, [f"w{i}" for i in range(Vx)])
+dall_x = cx.token_doc_ids()
+zx, nkwx, tsx, _dtx = run_stream(
+    cx, Kx, rngx.integers(0, Kx, cx.num_tokens).astype(np.int32),
+    np.ones(Dx, np.float32),
+    rngx.dirichlet(np.full(Vx, 0.05), Kx).T.astype(np.float32),
+    np.full(Kx, 0.4, np.float32), 523)
+refx = np.zeros((Vx, Kx), np.int64)
+np.add.at(refx, (cx.tokens, zx), 1)
+assert np.array_equal(nkwx[:Vx].astype(np.int64), refx), \
+    "X,Y,X reuse schedule corrupted N_kw (store hazard)"
+refdx = np.zeros((Dx, Kx), np.int64)
+np.add.at(refdx, (dall_x, zx), 1)
+assert np.allclose(tsx[:Kx, :Dx].T - 0.4, refdx, atol=1e-3), \
+    "X,Y,X reuse schedule corrupted n_dk table (store hazard)"
+print("4b2. X,Y,X window-reuse hazard schedule: counts ok after 6 sweeps")
+
 # ---- 4c. streamed MH (lightpclda above the VMEM budget) ------------------
 from ldagroupedgibbssampler_tpu.models import fused_sweep as _fs
 

@@ -38,6 +38,9 @@ _EPS = 1e-30
 class ADLDA(FusedPCGSSweepMixin, TpuLDASampler):
     layout = "doc_major"
     smooth_phi = True
+    # streamed-scratch gate: the collapsed mode carries an f32 word table
+    # + the broadcast nk row (ops/pallas_pcgs.fused_pcgs_streamed_vmem_bytes)
+    _streamed_collapsed = True
 
     def _init_state(self, key: jax.Array) -> LDAState:
         return self._blockify_z_state(super()._init_state(key))

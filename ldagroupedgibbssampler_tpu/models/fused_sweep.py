@@ -28,11 +28,15 @@ import numpy as np
 
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
     FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_sweep_streamed,
-    fused_pcgs_vmem_bytes)
+    fused_pcgs_streamed_vmem_bytes, fused_pcgs_vmem_bytes)
 
 # VMEM residency budget for the n_dk table (same gate style as the GGS
 # kernel's theta table)
 _FUSED_PCGS_VMEM_BUDGET = 10 * 2 ** 20
+# scratch budget for the STREAMED variant (NBUF word/N_kw slots + tb_buf;
+# ADVICE round-1 item 1): conservative vs the ~16 MiB/core VMEM so the
+# compiler keeps headroom for spills/fusions.
+_STREAMED_VMEM_BUDGET = 14 * 2 ** 20
 # the sequential-safe layout requires dspan <= chunk (= 128)
 _SEQ_DSPAN = 128
 
@@ -50,6 +54,29 @@ class FusedPCGSSweepMixin:
         the block layout / table wiring, not of the statistics."""
         return self.config.zdraw_kernel == "interpret"
 
+    # streamed-scratch shape knobs (overridden by the MH/collapsed users)
+    _streamed_word_tables = 1   # 2 for the MH kernel (target + proposal)
+    _streamed_collapsed = False  # True for the ADLDA collapsed conditional
+
+    def _streamed_vspan(self) -> int:
+        """Largest vspan (config value halved down to 128) whose streamed
+        scratch fits _STREAMED_VMEM_BUDGET; 0 if even vspan=128 is over
+        (then the streamed path is ineligible and XLA runs instead) —
+        the streamed-variant VMEM gate (ADVICE round-1 item 1)."""
+        vspan = max(128, self.config.vocab_span)
+        while vspan >= 128:
+            need = fused_pcgs_streamed_vmem_bytes(
+                self.config.topics, vspan, _SEQ_DSPAN,
+                self.config.token_block,
+                collapsed=self._streamed_collapsed,
+                num_word_tables=self._streamed_word_tables)
+            if need <= _STREAMED_VMEM_BUDGET:
+                return vspan
+            if vspan == 128:
+                return 0
+            vspan = max(128, vspan // 2)
+        return 0
+
     def _fused_mode(self):
         """None (XLA sweep) | "resident" | "streamed"."""
         if not (self.fused_pcgs_eligible
@@ -61,7 +88,9 @@ class FusedPCGSSweepMixin:
         fits = fused_pcgs_vmem_bytes(self.corpus.num_docs,
                                      self.config.topics, _SEQ_DSPAN) \
             <= _FUSED_PCGS_VMEM_BUDGET
-        return "resident" if fits else "streamed"
+        if fits:
+            return "resident"
+        return "streamed" if self._streamed_vspan() > 0 else None
 
     def _use_fused_sweep(self) -> bool:
         return self._fused_mode() is not None
@@ -82,7 +111,7 @@ class FusedPCGSSweepMixin:
                     corpus.tokens, corpus.token_doc_ids(),
                     corpus.num_types, corpus.num_docs,
                     block=self.config.token_block,
-                    vspan=self.config.vocab_span, dspan=_SEQ_DSPAN)
+                    vspan=self._streamed_vspan(), dspan=_SEQ_DSPAN)
             self._sblocks = b
             nb = b.w_local.shape[0]
             chunks = b.w_local.shape[1] // b.chunk
@@ -172,7 +201,8 @@ class FusedPCGSSweepMixin:
                 self._ndk_table(ndk, alpha, doc_mask), word_vk,
                 self._fused_seed(k_z),
                 self.swwc, self.swindc, nk_plus=nk_plus,
-                nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+                nwin_w=b.nwin_w, nwin_d=b.nwin_d,
+                vspan=self._streamed_vspan(),
                 dspan=_SEQ_DSPAN, num_topics=cfg.topics,
                 interpret=self._fused_interpret())
         else:

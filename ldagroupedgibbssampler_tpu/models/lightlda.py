@@ -122,6 +122,9 @@ class LightPCLDA(UncollapsedParallelLDA):
 
     layout = "doc_major"
     smooth_phi = True
+    # streamed-scratch gate: the MH kernel buffers TWO bf16 word tables
+    # (target + proposal, ops/pallas_lightlda.py:426-430)
+    _streamed_word_tables = 2
 
     def _target_and_proposal(self, state: LDAState):
         log_phi_t = jnp.log(state.phi.T + _EPS)
@@ -144,7 +147,8 @@ class LightPCLDA(UncollapsedParallelLDA):
                 self.swb, self.sdla, state.z,
                 self._ndk_table(state.ndk, state.alpha, doc_mask), tw, qw,
                 self._fused_seed(k_z), self.swwc, self.swindc,
-                nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
+                nwin_w=b.nwin_w, nwin_d=b.nwin_d,
+                vspan=self._streamed_vspan(),
                 dspan=_SEQ_DSPAN, num_topics=cfg.topics,
                 interpret=self._fused_interpret())
         else:

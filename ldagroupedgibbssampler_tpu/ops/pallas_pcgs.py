@@ -308,6 +308,29 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
 NBUF = 3  # streamed-window buffer slots: active / prefetching / draining
 
 
+def fused_pcgs_streamed_vmem_bytes(num_topics, vspan, dspan, block,
+                                   collapsed=False, num_word_tables=1,
+                                   u24=False):
+    """VMEM scratch + operand-block estimate for the STREAMED sweep
+    variants (the gate the resident path's fused_pcgs_vmem_bytes is for
+    the n_dk table). Dominant terms at large K: the NBUF word-table
+    slots ([NBUF, kpad, vspan], bf16 — f32 when collapsed) and the NBUF
+    N_kw accumulator slots ([NBUF, vspan, kpad], f32); `num_word_tables`
+    is 1 for PCGS/ADLDA/HDP and 2 for the MH kernel (target + proposal,
+    both bf16, ops/pallas_lightlda.py:426-430). Also counts tb_buf, the
+    per-block VMEM operands (w/d/z in + z out at `block` tokens), tril,
+    and the broadcast nk row in collapsed mode."""
+    kpad = max(128, ((num_topics + 127) // 128) * 128)
+    word_bytes = 4 if (collapsed and num_word_tables == 1) else 2
+    tb_buf = (kpad + FLAG_ROWS) * dspan * 4
+    ph_buf = NBUF * kpad * vspan * word_bytes * num_word_tables
+    nkw_buf = NBUF * vspan * kpad * 4
+    nkc = kpad * 128 * 4 if collapsed else 0
+    blocks = (4 + (1 if u24 else 0)) * block * 4
+    tril = 128 * 128 * 2
+    return tb_buf + ph_buf + nkw_buf + nkc + blocks + tril
+
+
 def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
                    nkw_in_ref, nkw_out, nkw_buf, word_pairs):
     """Window-switch DMA machinery shared by the streamed sweep kernels,

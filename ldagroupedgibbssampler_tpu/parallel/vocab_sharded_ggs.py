@@ -117,6 +117,10 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
                 num_docs=corpus.num_docs, block=block, vspan=vspan,
                 dspan=dspan, chunk=chunk)
             per.append((b, idx))
+        # shard bookkeeping for balance / memory reporting
+        # (benchmarks/pubmed_rehearsal.py)
+        self.shard_token_counts = [int(len(idx)) for _, idx in per]
+        self.shard_pad_slots = [int(b.w_local.size) for b, _ in per]
         nba = max(b.w_local.shape[0] for b, _ in per)
         nbb = max(b.d_local.shape[0] for b, _ in per)
         bpc = block // chunk

@@ -99,3 +99,47 @@ def test_fused_checkpoint_roundtrip(tmp_path):
                                   m1.get_z_indicators())
     np.testing.assert_array_equal(np.asarray(m2.state.ndk),
                                   np.asarray(m1.state.ndk))
+
+
+def test_streamed_vmem_gate():
+    """The streamed-variant VMEM gate (ADVICE round-1 item 1): scratch
+    estimate shrinks vspan when over budget and disables the streamed
+    path entirely when even vspan=128 exceeds it."""
+    from ldagroupedgibbssampler_tpu.config import LDAConfig
+    from ldagroupedgibbssampler_tpu.models import fused_sweep as fs
+    from ldagroupedgibbssampler_tpu.models.adlda import ADLDA
+    from ldagroupedgibbssampler_tpu.models.pcgs import (
+        LDAPartiallyCollapsedGibbsSampler)
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+        fused_pcgs_streamed_vmem_bytes)
+
+    # estimator monotonic in K and vspan
+    assert fused_pcgs_streamed_vmem_bytes(1000, 128, 128, 4096) < \
+        fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096)
+    assert fused_pcgs_streamed_vmem_bytes(1000, 128, 128, 4096) < \
+        fused_pcgs_streamed_vmem_bytes(1000, 512, 128, 4096)
+    # collapsed f32 word table + nk row costs more than bf16
+    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
+                                          collapsed=True) > \
+        fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096)
+    # MH double word table in between
+    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
+                                          num_word_tables=2) > \
+        fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096)
+
+    # PCGS at K=1000 with an oversized configured vspan shrinks to fit
+    m = LDAPartiallyCollapsedGibbsSampler(
+        LDAConfig(scheme="pcgs", topics=1000, vocab_span=1024))
+    v = m._streamed_vspan()
+    assert 128 <= v < 1024
+    assert fused_pcgs_streamed_vmem_bytes(
+        1000, v, 128, m.config.token_block) <= fs._STREAMED_VMEM_BUDGET
+
+    # collapsed ADLDA at K=4096 does not fit even at vspan=128 -> gate off
+    ma = ADLDA(LDAConfig(scheme="adlda", topics=4096))
+    assert ma._streamed_vspan() == 0
+
+    # plain PCGS at K=4096 (bf16 word table) still fits
+    mp = LDAPartiallyCollapsedGibbsSampler(
+        LDAConfig(scheme="pcgs", topics=4096))
+    assert mp._streamed_vspan() == 128
