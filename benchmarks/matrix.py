@@ -292,6 +292,31 @@ def main(argv=None):
                                                     max(3, iters // 2)), 1)}
             del mx
 
+    # 8c. ADLDA staleness-contract check at realistic K/V (round-1 weak
+    #     item 6): the sweep-stale fused ADLDA's model-LL trajectory must
+    #     track the PCGS chain at 20NG scale K=100 — the same "one sweep
+    #     of staleness" approximation family as ADLDA.java:176-332, here
+    #     measured rather than argued at toy scale.
+    if want("8c_adlda_vs_pcgs_ll_20ng"):
+        from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+            model_log_likelihood as _mll)
+        lls = {}
+        for scheme in ("adlda", "pcgs"):
+            cfg8c = LDAConfig(scheme=scheme, topics=100, alpha=0.5,
+                              beta=0.01, seed=2019, exec_time=-1,
+                              topic_interval=0)
+            m8c = create_model(cfg8c)
+            m8c.add_instances(corpus)
+            m8c.sample(60)
+            lls[scheme] = float(_mll(m8c.state.ndk, m8c._nkw_kv(),
+                                     m8c.get_alpha(), m8c.get_beta()))
+            del m8c
+        report["results"]["8c_adlda_vs_pcgs_ll_20ng"] = {
+            "adlda_ll": round(lls["adlda"], 1),
+            "pcgs_ll": round(lls["pcgs"], 1),
+            "rel_gap": round(abs(lls["adlda"] - lls["pcgs"])
+                             / abs(lls["pcgs"]), 4)}
+
     # 10. HDP (Poisson Polya-Urn, full K_max array) at 20NG scale: the
     #     nonparametric family's throughput + how many topics stay active
     if want("10_ppu_hdplda_20ng"):
