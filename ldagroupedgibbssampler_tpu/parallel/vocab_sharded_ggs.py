@@ -56,6 +56,36 @@ from ldagroupedgibbssampler_tpu.parallel.mesh import make_mesh
 _GOLD = -1640531527
 
 
+def interleave_permutation(type_counts: np.ndarray, vspan: int):
+    """Frequency-interleaved type relabeling: perm[old_id] = new_id.
+
+    Types sorted by descending frequency are dealt round-robin across the
+    w-windows, so each window holds every nwin-th rank of the Zipf curve
+    and carries ~equal token mass. Without this, contiguous-id windows
+    concentrate the Zipf head in window 0 and no contiguous-window shard
+    partition can balance (measured 4.1x max/mean imbalance on a
+    PubMed-stats corpus, benchmarks/pubmed_rehearsal.py). The model works
+    in permuted space internally; phi/N_kw are permuted at the step
+    boundary so external state keeps original type ids."""
+    v = len(type_counts)
+    nwin = max(1, -(-v // vspan))
+    caps = np.full(nwin, vspan, np.int64)
+    caps[-1] = v - (nwin - 1) * vspan
+    order = np.argsort(-np.asarray(type_counts), kind="stable")
+    perm = np.empty(v, np.int64)
+    fill = np.zeros(nwin, np.int64)
+    w = 0
+    for i in range(v):
+        while fill[w] >= caps[w]:
+            w = (w + 1) % nwin
+        perm[order[i]] = w * vspan + fill[w]
+        fill[w] += 1
+        w = (w + 1) % nwin
+    inv = np.empty(v, np.int64)
+    inv[perm] = np.arange(v)
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
 def partition_windows(type_counts: np.ndarray, vspan: int, num_shards: int):
     """Contiguous w-window ranges with balanced token counts.
 
@@ -100,19 +130,27 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
         S = self.mesh.devices.size
         d_all = corpus.token_doc_ids()
         tf = corpus.type_frequencies()
-        wb = partition_windows(tf, vspan, S)
+        # frequency-interleaved internal relabeling (see
+        # interleave_permutation): blocks/wgf/phi windows live in permuted
+        # space; state.phi/state.nkw stay in original type ids.
+        self.type_perm, self.type_inv = interleave_permutation(tf, vspan)
+        self._perm_dev = jnp.asarray(self.type_perm)
+        self._inv_dev = jnp.asarray(self.type_inv)
+        ptokens = self.type_perm[corpus.tokens]
+        tf_p = tf[self.type_inv]
+        wb = partition_windows(tf_p, vspan, S)
         self.win_bounds = wb
         self.nwin_local = (wb[1:] - wb[:-1]).astype(int)
         nwin_max = int(self.nwin_local.max())
         self.nwin_max = nwin_max
-        ww_all = corpus.tokens // vspan
+        ww_all = ptokens // vspan
 
         per = []
         for s in range(S):
             sel = (ww_all >= wb[s]) & (ww_all < wb[s + 1])
             idx = np.nonzero(sel)[0]
             b = build_cell_blocks(
-                corpus.tokens[idx] - wb[s] * vspan, d_all[idx],
+                ptokens[idx] - wb[s] * vspan, d_all[idx],
                 num_types=int(self.nwin_local[s]) * vspan,
                 num_docs=corpus.num_docs, block=block, vspan=vspan,
                 dspan=dspan, chunk=chunk)
@@ -225,7 +263,9 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
         # (1) theta — replicated draw from the reduced global counts
         theta = self._theta_update(k_theta, state, doc_mask)
         theta_m = jnp.where(doc_mask[:, None], theta, 0.0)
-        phi_pad = jnp.pad(state.phi, ((0, vpadg - V), (0, 0)))
+        # external (original-id) phi -> interleaved window space
+        phi_pad = jnp.pad(state.phi[self._inv_dev],
+                          ((0, vpadg - V), (0, 0)))
 
         pe = partial(P, ax)
 
@@ -314,6 +354,8 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
                            self.dlb, self.windb, self.firstdb, self.row0,
                            self.wgf, self.dff, self.rowmask, theta_m,
                            phi_pad)
+        # window space -> external type ids
+        nkw = jnp.take(nkw, self._perm_dev, axis=0)
         # (4) phi — replicated draw from the assembled global counts
         phi = self._sample_phi(k_phi, nkw, state.beta, type_mask, state.phi)
         return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
@@ -360,8 +402,9 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
 
         S = self.mesh.devices.size
         zf = z.reshape(S, -1)
-        return cnt(zf, self.wgf, self.dff,
-                   self.mk3.reshape(S, -1))
+        nkw_p, ndk = cnt(zf, self.wgf, self.dff,
+                         self.mk3.reshape(S, -1))
+        return jnp.take(nkw_p, self._perm_dev, axis=0), ndk
 
     # ------------------------------------------------------------------
     # z accessors (global token order via per-shard flat_index)

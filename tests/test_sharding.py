@@ -259,3 +259,50 @@ def test_sharded_pcgs_in_registry(mesh8, synthetic_corpus):
     m.add_instances(synthetic_corpus)
     m.sample(3)
     assert int(np.asarray(m.state.nkw).sum()) == synthetic_corpus.num_tokens
+
+
+def test_interleave_permutation_balances_zipf(mesh8):
+    """Zipf-headed vocabularies defeat contiguous-window balancing (the
+    head lands in window 0); the frequency-interleaved relabeling deals
+    ranks round-robin so shard token masses even out (measured 4.1x
+    max/mean before on PubMed stats, benchmarks/pubmed_rehearsal.py)."""
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS, interleave_permutation)
+
+    rng = np.random.default_rng(3)
+    v, d = 512, 200
+    ranks = np.arange(1, v + 1)
+    probs = 1.0 / ranks ** 1.1
+    probs /= probs.sum()
+    docs = [list(rng.choice(v, size=60, p=probs)) for _ in range(d)]
+    corpus = Corpus.from_token_lists(docs, [f"w{i}" for i in range(v)])
+
+    perm, inv = interleave_permutation(corpus.type_frequencies(), 4)
+    assert sorted(perm) == list(range(v))      # bijection
+    np.testing.assert_array_equal(inv[perm], np.arange(v))
+
+    model = VocabShardedGGS(_vcfg(vocab_span=4), mesh=mesh8)
+    model.add_instances(corpus)
+    toks = model.shard_token_counts
+    mean = sum(toks) / len(toks)
+    imb = max(toks) / mean
+    # a single type cannot be split across shards, so the achievable bound
+    # is the head type's mass; interleaving must get within 15% of it...
+    tf = corpus.type_frequencies()
+    head_bound = max(1.0, tf.max() / mean)
+    assert imb <= head_bound * 1.15 + 0.05, (imb, head_bound, toks)
+    # ...and beat the contiguous-id partition (Zipf head all in window 0)
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        partition_windows)
+    wb = partition_windows(tf, 4, 8)
+    per_win = np.zeros(128, np.int64)
+    np.add.at(per_win, np.arange(v) // 4, tf)
+    contig = max(per_win[wb[s]:wb[s + 1]].sum() for s in range(8)) / mean
+    assert imb < contig, (imb, contig)
+    # counts still come back in ORIGINAL type ids
+    model.sample(2)
+    z = model.get_z_indicators()
+    ref = np.zeros((v, 3), np.int64)
+    np.add.at(ref, (corpus.tokens, z), 1)
+    np.testing.assert_array_equal(np.asarray(model.state.nkw), ref)
