@@ -11,7 +11,7 @@ cd /root/repo
 run() {
   name=$1; shift
   echo "=== $name ==="
-  timeout 3000 "$@" >"$OUT/$name.log" 2>&1
+  timeout 4500 "$@" >"$OUT/$name.log" 2>&1
   echo "exit=$? (log: $OUT/$name.log)"
   tail -3 "$OUT/$name.log"
 }

@@ -109,14 +109,26 @@ d0 = int(doc_ids[tok_b, tok_c, tok_t])
 w0 = int(w_glob[tok_b, tok_c, tok_t])
 p = theta_u[d0] * phi_u[w0]
 p = p / p.sum()
-counts = np.zeros(K, np.int64)
-for r in range(R):
-    s = jnp.asarray([r * 7919 + 13], jnp.int32)
-    zz, _ = fused_zdraw_nkw(
-        w3, d3, z_old, jnp.asarray(theta_u), jnp.asarray(phi_u), s,
-        win_w, first_w, win_d, nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
-        vspan=512, dspan=512, num_topics=K, precise=False)
-    counts[int(np.asarray(zz)[tok_b, tok_c, tok_t])] += 1
+
+
+# R kernel invocations batched into ONE dispatch (lax.scan over seeds):
+# per-dispatch tunnel latency otherwise dominates (~1.5 s x R).
+@jax.jit
+def _chi_draws_k100(seeds, theta_in, phi_in):
+    def body(_, sd):
+        zz, _ = fused_zdraw_nkw(
+            w3, d3, z_old, theta_in, phi_in, sd[None],
+            win_w, first_w, win_d, nwin_w=blocks.nwin_w,
+            nwin_d=blocks.nwin_d, vspan=512, dspan=512, num_topics=K,
+            precise=False)
+        return 0, zz[tok_b, tok_c, tok_t]
+    return jax.lax.scan(body, 0, seeds)[1]
+
+
+seeds = jnp.asarray(np.arange(R) * 7919 + 13, jnp.int32)
+zs = np.asarray(_chi_draws_k100(seeds, jnp.asarray(theta_u),
+                                jnp.asarray(phi_u)))
+counts = np.bincount(zs, minlength=K).astype(np.int64)
 exp = p * R
 chi2 = ((counts - exp) ** 2 / np.maximum(exp, 1e-9)).sum()
 # 5-sigma band for chi-square(dof): dof + 5*sqrt(2*dof)
@@ -150,15 +162,24 @@ phi_u2 = rng2.dirichlet(np.full(V, 0.1), K2).astype(np.float32).T.copy()
 p2 = theta_u2[d0] * phi_u2[w0]
 p2 = p2 / p2.sum()
 R2 = 600
-counts2 = np.zeros(K2, np.int64)
-for r in range(R2):
-    s = jnp.asarray([r * 104729 + 7], jnp.int32)
-    zz, _ = fused_zdraw_nkw(
-        w3, d3, z_old2, jnp.asarray(theta_u2), jnp.asarray(phi_u2), s,
-        win_w, first_w, win_d, nwin_w=blocks.nwin_w, nwin_d=blocks.nwin_d,
-        vspan=512, dspan=512, num_topics=K2, precise=False,
-        stream_theta=True)
-    counts2[int(np.asarray(zz)[tok_b, tok_c, tok_t])] += 1
+
+
+@jax.jit
+def _chi_draws_k1000(seeds, theta_in, phi_in):
+    def body(_, sd):
+        zz, _ = fused_zdraw_nkw(
+            w3, d3, z_old2, theta_in, phi_in, sd[None],
+            win_w, first_w, win_d, nwin_w=blocks.nwin_w,
+            nwin_d=blocks.nwin_d, vspan=512, dspan=512, num_topics=K2,
+            precise=False, stream_theta=True)
+        return 0, zz[tok_b, tok_c, tok_t]
+    return jax.lax.scan(body, 0, seeds)[1]
+
+
+seeds2 = jnp.asarray(np.arange(R2) * 104729 + 7, jnp.int32)
+zs2 = np.asarray(_chi_draws_k1000(seeds2, jnp.asarray(theta_u2),
+                                  jnp.asarray(phi_u2)))
+counts2 = np.bincount(zs2, minlength=K2).astype(np.int64)
 # bin tail topics so expected counts stay >= ~2 for the chi-square
 order2 = np.argsort(-p2)
 exp2 = p2[order2] * R2

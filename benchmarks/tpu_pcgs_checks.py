@@ -20,6 +20,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat runs skip the 20-40s Mosaic compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
 from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
 from ldagroupedgibbssampler_tpu.models.registry import create_model

@@ -29,7 +29,7 @@ pytestmark = [
 ]
 
 
-def _run_script(rel_path, timeout=2400):
+def _run_script(rel_path, timeout=4200):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     pp = [_REPO]
