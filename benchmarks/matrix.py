@@ -117,20 +117,34 @@ def main(argv=None):
         stoplist_path=None, rare_threshold=0)
     from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
         model_log_likelihood)
+    import contextlib
+    _cpus = jax.devices("cpu") if jax.default_backend() != "cpu" else []
+
+    def cgs_ctx():
+        return (jax.default_device(_cpus[0]) if _cpus
+                else contextlib.nullcontext())
+
     m1 = None
     if need_cats:
         cfg1 = LDAConfig(scheme="collapsed", topics=3, alpha=5.0, beta=7.0,
                          seed=2019, exec_time=-1)
-        m1 = create_model(cfg1)
-        m1.add_instances(cats)
-        t0 = time.perf_counter()
-        m1.sample(20)
-        dt = (time.perf_counter() - t0) / 20
-        ll_cgs = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
-                                            m1.get_alpha(), m1.get_beta()))
+        # the CGS oracle is a SERIAL per-token lax.scan chain: on TPU each
+        # tiny scan step pays on-chip sequencing overhead (~1k tokens/s),
+        # while the host CPU runs the same chain at ~5-6M tokens/s. Pin
+        # the oracle to the host backend — it is a correctness yardstick,
+        # not a TPU perf item — and record the device in the row.
+        with cgs_ctx():
+            m1 = create_model(cfg1)
+            m1.add_instances(cats)
+            t0 = time.perf_counter()
+            m1.sample(20)
+            dt = (time.perf_counter() - t0) / 20
+            ll_cgs = float(model_log_likelihood(
+                m1.state.ndk, m1._nkw_kv(), m1.get_alpha(), m1.get_beta()))
         if want("1_cgs_cats"):
             report["results"]["1_cgs_cats"] = {
                 "tokens_per_sec": round(cats.num_tokens / dt, 1),
+                "device": "host-cpu" if _cpus else "default",
                 "model_ll": round(ll_cgs, 1)}
 
     corpus = synth_20ng()
@@ -166,10 +180,10 @@ def main(argv=None):
         mq.sample(100)
         ll_ggs = float(model_log_likelihood(mq.state.ndk, mq._nkw_kv(),
                                             mq.get_alpha(), mq.get_beta()))
-        m1.sample(80)   # bring the oracle to 100 iterations too
-        ll_cgs100 = float(model_log_likelihood(m1.state.ndk, m1._nkw_kv(),
-                                               m1.get_alpha(),
-                                               m1.get_beta()))
+        with cgs_ctx():
+            m1.sample(80)   # bring the oracle to 100 iterations too
+            ll_cgs100 = float(model_log_likelihood(
+                m1.state.ndk, m1._nkw_kv(), m1.get_alpha(), m1.get_beta()))
         report["results"]["3b_ggs_vs_cgs_ll_cats"] = {
             "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
             "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
@@ -191,9 +205,12 @@ def main(argv=None):
         for scheme in ("ggs", "collapsed"):
             cfge = LDAConfig(scheme=scheme, topics=3, alpha=5.0, beta=7.0,
                              seed=2019, exec_time=-1)
-            me = create_model(cfge)
-            me.add_instances(train)
-            me.sample(100)
+            ctx = cgs_ctx() if scheme == "collapsed" \
+                else contextlib.nullcontext()
+            with ctx:
+                me = create_model(cfge)
+                me.add_instances(train)
+                me.sample(100)
             hlls[scheme] = left_to_right_log_likelihood(
                 2019, evl, None, me.get_alpha(), num_particles=100,
                 nkw=me._nkw_kv(), nk=me.state.nk, beta=me.get_beta())

@@ -35,7 +35,8 @@ assert jax.default_backend() == "tpu", jax.devices()
 rng = np.random.default_rng(0)
 
 
-def run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed):
+def run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed, nk_plus=None,
+              beta=None):
     b = c.cell_blocks_seq(block=2048, vspan=128, dspan=128, chunk=128)
     nb = b.w_local.shape[0]
     chunks = b.w_local.shape[1] // b.chunk
@@ -55,6 +56,8 @@ def run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed):
         jnp.asarray(z_old), jnp.asarray(table), jnp.asarray(phi),
         jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w),
         jnp.asarray(b.first_w), jnp.asarray(b.win_d_chunks),
+        nk_plus=(None if nk_plus is None
+                 else jnp.asarray(nk_plus, jnp.float32)), beta=beta,
         nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
         num_topics=K)
     z_out = np.zeros(c.num_tokens, np.int32)
@@ -117,6 +120,39 @@ pval = sps.chi2.sf(chi2, Kd - 1)
 assert pval > 1e-4, (obs, p * Dd, pval)
 print(f"3. chi-square vs exact conditional: ok (chi2={chi2:.1f}, p={pval:.3f})")
 
+
+# ---- 3b. collapsed (ADLDA) LIVE-count mode: resident kernel -------------
+# chi-square against the exact collapsed conditional with LARGE sweep-entry
+# counts (live drift <= 0.1%), plus entry+delta bookkeeping
+Dc, Kc, Vc = 4000, 5, 2
+cc = Corpus.from_token_lists([[0]] * Dc, ["w0", "w1"])
+alphac = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
+betac = 0.3
+entry = np.zeros((Vc, Kc), np.float64)
+entry[0, :] = np.array([4.0e6, 4.4e6, 3.6e6, 4.8e6, 3.2e6])
+nk_entry = entry.sum(0)
+ownc = np.zeros(Kc)
+ownc[0] = 1.0
+pc = alphac * (betac + entry[0] - ownc) / (betac * Vc + nk_entry - ownc)
+pc = pc / pc.sum()
+zc, nkwc, _ = run_sweep(cc, Kc, np.zeros(Dc, np.int32),
+                        np.ones(Dc, np.float32),
+                        entry.astype(np.float32), alphac, seed=41,
+                        nk_plus=(betac * Vc + nk_entry).astype(np.float32),
+                        beta=betac)
+obsc = np.bincount(zc, minlength=Kc).astype(np.float64)
+chi2c = float(((obsc - pc * Dc) ** 2 / (pc * Dc)).sum())
+pvalc = sps.chi2.sf(chi2c, Kc - 1)
+assert pvalc > 1e-4, (obsc, pc * Dc, pvalc)
+d_new = np.zeros((Vc, Kc), np.int64)
+np.add.at(d_new, (cc.tokens, zc), 1)
+d_old = np.zeros((Vc, Kc), np.int64)
+np.add.at(d_old, (cc.tokens, np.zeros(Dc, np.int32)), 1)
+assert np.array_equal(nkwc[:Vc].astype(np.int64),
+                      entry.astype(np.int64) + d_new - d_old)
+print(f"3b. collapsed live resident: chi2={chi2c:.1f} (p={pvalc:.3f}), "
+      "entry+delta bookkeeping ok")
+
 # ---- 4. end-to-end pcgs scheme: fused gate + LL trajectory vs XLA --------
 from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
     model_log_likelihood)
@@ -124,6 +160,12 @@ docs_e = [list(rng.integers(0, 2000, rng.integers(20, 200)))
           for _ in range(800)]
 ce = Corpus.from_token_lists(docs_e, [f"w{i}" for i in range(2000)])
 for scheme in ("pcgs", "adlda", "lightpclda"):
+    # ADLDA's fused path keeps counts LIVE (chunk-fresh, ~serial-CGS
+    # mixing) while the XLA fallback is sweep-stale: the live chain
+    # converges FASTER, so short-trajectory LLs diverge by design. Run
+    # that pair to near-convergence and compare equilibria, also
+    # asserting the live chain is never materially worse.
+    blocks, per, tol = (15, 10, 0.015) if scheme == "adlda" else (6, 5, 0.01)
     lls = {}
     for kern in ("fused", "xla"):
         cfg = LDAConfig(scheme=scheme, topics=20, alpha=0.5, beta=0.01,
@@ -132,17 +174,45 @@ for scheme in ("pcgs", "adlda", "lightpclda"):
         m.add_instances(ce)
         assert m._use_fused_sweep() == (kern == "fused")
         traj = []
-        for _ in range(6):
-            m.sample(5)
+        for _ in range(blocks):
+            m.sample(per)
             assert int(np.asarray(m.state.nkw).sum()) == ce.num_tokens
             assert int(np.asarray(m.state.ndk).sum()) == ce.num_tokens
             traj.append(float(model_log_likelihood(
                 m.state.ndk, m._nkw_kv(), m.get_alpha(), m.get_beta())))
         lls[kern] = traj
         print(f"4. {scheme}/{kern}: LL {[round(x, 0) for x in traj]}")
-    gap = abs(lls["fused"][-1] - lls["xla"][-1]) / abs(lls["xla"][-1])
-    assert gap < 0.01, (scheme, lls, gap)
-    print(f"4. {scheme} fused vs XLA final-LL gap: {gap:.4%} — ok")
+    if scheme == "adlda":
+        # The two ADLDA kernels are DIFFERENT members of the AD-LDA
+        # approximation family and equilibrate at different LLs: the
+        # sweep-stale XLA fallback is the P -> infinity limit (every
+        # token against one-sweep-old counts; plateaus measurably below
+        # the collapsed posterior's typical set), while the live fused
+        # chain is micro-batched serial CGS (<= 128-token staleness).
+        # So: (a) live must never be WORSE than stale, and (b) live must
+        # match the exact serial CGS oracle (run on the host CPU — the
+        # serial scan is pathological on TPU) at its plateau.
+        assert lls["fused"][-1] >= lls["xla"][-1] - tol * abs(lls["xla"][-1])
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            mc = create_model(LDAConfig(scheme="collapsed", topics=20,
+                                        alpha=0.5, beta=0.01, seed=2019,
+                                        exec_time=-1))
+            mc.add_instances(ce)
+            mc.sample(blocks * per)
+            ll_cgs = float(model_log_likelihood(
+                mc.state.ndk, mc._nkw_kv(), mc.get_alpha(), mc.get_beta()))
+        gap = abs(lls["fused"][-1] - ll_cgs) / abs(ll_cgs)
+        assert gap < tol, (lls["fused"], ll_cgs, gap)
+        print(f"4. adlda live-fused vs serial-CGS oracle plateau "
+              f"({blocks * per} iters): CGS {ll_cgs:.0f}, "
+              f"live {lls['fused'][-1]:.0f}, gap {gap:.4%} — ok "
+              f"(sweep-stale XLA plateaus at {lls['xla'][-1]:.0f})")
+    else:
+        gap = abs(lls["fused"][-1] - lls["xla"][-1]) / abs(lls["xla"][-1])
+        assert gap < tol, (scheme, lls, gap)
+        print(f"4. {scheme} fused vs XLA final-LL gap ({blocks * per} "
+              f"iters): {gap:.4%} — ok")
 
 # ---- 4b. HBM-streamed variant: count semantics + chi-square + perf ------
 from ldagroupedgibbssampler_tpu.corpus.ragged import build_stream_blocks_seq
@@ -150,7 +220,8 @@ from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
     fused_pcgs_sweep_streamed)
 
 
-def run_stream(c_, K_, z_flat_, doc_mask_, phi_, alpha_, seed_):
+def run_stream(c_, K_, z_flat_, doc_mask_, phi_, alpha_, seed_,
+               nk_plus=None, beta=None):
     b = build_stream_blocks_seq(c_.tokens, c_.token_doc_ids(),
                                 c_.num_types, c_.num_docs, block=2048,
                                 vspan=128, dspan=128, chunk=128)
@@ -173,15 +244,26 @@ def run_stream(c_, K_, z_flat_, doc_mask_, phi_, alpha_, seed_):
             jnp.asarray([seed_], jnp.int32), jnp.asarray(b.win_w_chunks),
             jnp.asarray(b.win_d_chunks))
     kw = dict(nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
-              num_topics=K_)
+              num_topics=K_,
+              nk_plus=(None if nk_plus is None
+                       else jnp.asarray(nk_plus, jnp.float32)), beta=beta)
     z, nkw_, t_ = fused_pcgs_sweep_streamed(*args, **kw)
     np.asarray(z)
+    # nkw_ comes back [nwin_w*vspan, K] — already word-major [V', K]
+    word_next = args[4] if nk_plus is None else nkw_.astype(jnp.float32)
+    if nk_plus is not None:
+        kw = dict(kw, nk_plus=beta * c_.num_types
+                  + jnp.sum(nkw_, axis=0).astype(jnp.float32))
     t0 = time.perf_counter()
     for s in range(5):
         z, nkw_, t_ = fused_pcgs_sweep_streamed(
-            args[0], args[1], z, t_, args[4],
+            args[0], args[1], z, t_, word_next,
             jnp.asarray([seed_ + 1 + s], jnp.int32), args[6], args[7],
             **kw)
+        if nk_plus is not None:
+            word_next = nkw_.astype(jnp.float32)
+            kw = dict(kw, nk_plus=beta * c_.num_types
+                      + jnp.sum(nkw_, axis=0).astype(jnp.float32))
     np.asarray(z)
     dt = (time.perf_counter() - t0) / 5
     z_out = np.zeros(c_.num_tokens, np.int32)
@@ -238,6 +320,32 @@ np.add.at(refdx, (dall_x, zx), 1)
 assert np.allclose(tsx[:Kx, :Dx].T - 0.4, refdx, atol=1e-3), \
     "X,Y,X reuse schedule corrupted n_dk table (store hazard)"
 print("4b2. X,Y,X window-reuse hazard schedule: counts ok after 6 sweeps")
+
+# ---- 4b3. collapsed LIVE streamed under the same X,Y,X reuse schedule ----
+# the N_kw rmw window doubles as the live word table here, so the
+# store-before-reload hazard now guards the table the draws READ
+z0x = rngx.integers(0, Kx, cx.num_tokens).astype(np.int32)
+entry_x = np.zeros((Vx, Kx), np.int64)
+np.add.at(entry_x, (cx.tokens, z0x), 1)
+offs_x = rngx.integers(0, 3, (Vx, Kx)).astype(np.int64)
+entry_x += offs_x
+beta_x = 0.05
+zxl, nkwxl, tsxl, _ = run_stream(
+    cx, Kx, z0x, np.ones(Dx, np.float32),
+    entry_x.astype(np.float32), np.full(Kx, 0.4, np.float32), 733,
+    nk_plus=(beta_x * Vx + entry_x.sum(0)).astype(np.float32), beta=beta_x)
+d_new_x = np.zeros((Vx, Kx), np.int64)
+np.add.at(d_new_x, (cx.tokens, zxl), 1)
+d_old_x = np.zeros((Vx, Kx), np.int64)
+np.add.at(d_old_x, (cx.tokens, z0x), 1)
+assert np.array_equal(nkwxl[:Vx].astype(np.int64),
+                      entry_x + d_new_x - d_old_x), \
+    "collapsed live X,Y,X schedule corrupted the rmw word table"
+refdxl = np.zeros((Dx, Kx), np.int64)
+np.add.at(refdxl, (dall_x, zxl), 1)
+assert np.allclose(tsxl[:Kx, :Dx].T - 0.4, refdxl, atol=1e-3)
+print("4b3. collapsed live streamed X,Y,X reuse: entry+delta ok "
+      "after 6 sweeps")
 
 # ---- 4c. streamed MH (lightpclda above the VMEM budget) ------------------
 from ldagroupedgibbssampler_tpu.models import fused_sweep as _fs

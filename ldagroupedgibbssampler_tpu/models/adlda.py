@@ -10,15 +10,18 @@ iteration.
 TPU-first mapping (SURVEY.md §2.2 P4): the "replica" is the replicated
 N_kw/n_k tensor, the "merge + re-broadcast" is the count rebuild (psum over
 the doc-sharded mesh when running multi-chip — see parallel/sharding.py).
-Staleness contract: the reference's workers update their local replica
-token-by-token within the sweep; here N_kw/n_k stay fixed for the whole sweep
-(each token still *excludes its own count* via the self-correction term, and
-n_dk updates token-by-token within each document exactly like the
-reference). Both designs are members of the same AD-LDA approximation family
-— counts are out-of-date by at most one sweep — and converge to
-indistinguishable stationary behaviour (Newman et al. §4); the TPU variant
-trades the JVM's shared-memory locality for full vectorisation across
-documents.
+Staleness contract (single chip, fused kernel): the reference's workers
+update their local replica token-by-token within the sweep and are stale
+ACROSS workers by up to one full sweep (ADLDA.java:176-332); here the fused
+kernel keeps N_kw and n_k LIVE — each 128-token chunk's count deltas apply
+before the next chunk draws — so counts are stale only *within* one chunk
+(<= 128 tokens), strictly tighter than any multi-worker reference
+configuration, and n_dk updates token-by-token within each document exactly
+like the reference. On the multi-chip path (parallel/sharded_adlda.py) each
+shard sweeps against sweep-stale replicated counts merged by psum — exactly
+the reference's cross-worker replica contract. The XLA fallback sweep
+(no TPU) is sweep-stale with exact own-count exclusion; all variants are
+members of the AD-LDA approximation family (Newman et al. §4).
 """
 
 from __future__ import annotations
@@ -38,8 +41,9 @@ _EPS = 1e-30
 class ADLDA(FusedPCGSSweepMixin, TpuLDASampler):
     layout = "doc_major"
     smooth_phi = True
-    # streamed-scratch gate: the collapsed mode carries an f32 word table
-    # + the broadcast nk row (ops/pallas_pcgs.fused_pcgs_streamed_vmem_bytes)
+    # streamed-scratch gate: the collapsed live-count mode streams no
+    # separate word table (the N_kw rmw window IS the table) but carries
+    # the live-n_k scratch (ops/pallas_pcgs.fused_pcgs_streamed_vmem_bytes)
     _streamed_collapsed = True
 
     def _init_state(self, key: jax.Array) -> LDAState:
@@ -51,14 +55,14 @@ class ADLDA(FusedPCGSSweepMixin, TpuLDASampler):
         k_z, k_phi, k_next = jax.random.split(state.key, 3)
         num_types = self.corpus.num_types
         if self._use_fused_sweep():
-            # collapsed mode of the fused kernel: stale (beta + N_kw) word
-            # table + (V beta + n_k) denominators, own-count exclusion
-            # in-kernel; the kernel's N_kw output IS the AD-LDA merge.
+            # collapsed mode of the fused kernel: LIVE N_kw/n_k (chunk
+            # deltas applied in-kernel before the next chunk draws) with
+            # own-count exclusion; the kernel's N_kw output IS the merge.
             z, ndk, nkw = self._fused_zsweep(
                 k_z, state.z, state.ndk, state.alpha,
-                state.beta + state.nkw.T.astype(jnp.float32), doc_mask,
+                state.nkw.T.astype(jnp.float32), doc_mask,
                 nk_plus=state.beta * num_types
-                + state.nk.astype(jnp.float32))
+                + state.nk.astype(jnp.float32), beta=state.beta)
         else:
             # Collapsed word term against sweep-stale global counts:
             # (beta + N_kw) / (V beta + n_k), precomputed [V, K].

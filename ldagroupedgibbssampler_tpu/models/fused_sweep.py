@@ -187,12 +187,13 @@ class FusedPCGSSweepMixin:
         return ndk, nkw
 
     def _fused_zsweep(self, k_z, z_blocks, ndk, alpha, word_vk, doc_mask,
-                      nk_plus=None):
+                      nk_plus=None, beta=None):
         """One fused Gibbs sweep. Returns (z_blocks', ndk' int32 [D, K],
         nkw' int32 [K, V]) — n_dk rides the kernel's resident table, N_kw
         accumulates in-kernel, so no recount is needed. `word_vk` is phi
-        [V, K] (PCGS/HDP) or the stale (beta + N_kw).T with `nk_plus` =
-        (V beta + n_k) for the collapsed ADLDA conditional."""
+        [V, K] (PCGS/HDP) — or, for the collapsed ADLDA conditional (with
+        `nk_plus` = (V beta + n_k) and `beta`), the sweep-entry N_kw.T
+        counts, which the kernel keeps LIVE chunk to chunk."""
         cfg = self.config
         b = self._sblocks
         if self._fused_mode() == "streamed":
@@ -201,6 +202,7 @@ class FusedPCGSSweepMixin:
                 self._ndk_table(ndk, alpha, doc_mask), word_vk,
                 self._fused_seed(k_z),
                 self.swwc, self.swindc, nk_plus=nk_plus,
+                beta=beta,
                 nwin_w=b.nwin_w, nwin_d=b.nwin_d,
                 vspan=self._streamed_vspan(),
                 dspan=_SEQ_DSPAN, num_topics=cfg.topics,
@@ -211,6 +213,7 @@ class FusedPCGSSweepMixin:
                 self._ndk_table(ndk, alpha, doc_mask), word_vk,
                 self._fused_seed(k_z),
                 self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
+                beta=beta,
                 nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
                 dspan=_SEQ_DSPAN, num_topics=cfg.topics,
                 interpret=self._fused_interpret())

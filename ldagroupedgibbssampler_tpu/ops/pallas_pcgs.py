@@ -92,13 +92,21 @@ def cdf_draw(tril, probs, u24):
 
 
 def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
-                 w_ref, d_ref, zo_ref, win_d_ref, ph_ref, tril_ref,
-                 *rest, vspan, dspan, kpad, num_topics, chunks, chunk,
+                 w_ref, d_ref, zo_ref, win_d_ref, *rest,
+                 vspan, dspan, kpad, num_topics, chunks, chunk,
                  u24_operand, collapsed):
     rest = list(rest)
-    nkc_ref = rest.pop(0) if collapsed else None
+    ph_ref = None if collapsed else rest.pop(0)
+    tril_ref = rest.pop(0)
+    if collapsed:
+        nkc_ref = rest.pop(0)
+        beta_ref = rest.pop(0)
+        nkw_old_ref = rest.pop(0)
     u24_ref = rest.pop(0) if u24_operand else None
-    ndk_in_ref, z_out, nkw_out, ndk_ref, dma_sem = rest
+    ndk_in_ref, z_out, nkw_out, ndk_ref = rest[:4]
+    scratch = rest[4:]
+    nk_buf = scratch.pop(0) if collapsed else None
+    dma_sem = scratch.pop(0)
     # ndk_in_ref aliases ndk_ref at the HBM level (input_output_aliases)
     # and stays in HBM (ANY): only ONE VMEM copy of the table is resident
     # (the output block, held across the whole grid). Seed it from HBM
@@ -112,10 +120,21 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
         cp = pltpu.make_async_copy(ndk_in_ref, ndk_ref, dma_sem)
         cp.start()
         cp.wait()
+        if collapsed:
+            # live (V beta + n_k) denominators, seeded from the sweep-entry
+            # totals (HBM, read once) and updated after every chunk
+            cp2 = pltpu.make_async_copy(nkc_ref, nk_buf, dma_sem)
+            cp2.start()
+            cp2.wait()
 
     @pl.when(first_w_ref[i] == 1)
     def _():
-        nkw_out[:] = jnp.zeros_like(nkw_out)
+        if collapsed:
+            # LIVE counts: the N_kw output window doubles as the word
+            # table, seeded from the sweep-entry counts of this w-window
+            nkw_out[:] = nkw_old_ref[:]
+        else:
+            nkw_out[:] = jnp.zeros_like(nkw_out)
 
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
@@ -152,14 +171,20 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
         corr = oh_zold * flag[None, :]                     # own-z exclusion
         nd = nd_ext[:kpad, :] - corr                       # decrement own z
         if collapsed:
-            # ADLDA word term with exact self-correction: the stale table
-            # holds (beta + N_kw); exclude the token's own count from both
-            # numerator and the (V beta + n_k) denominator. f32 HIGHEST
-            # select keeps the integer counts exact.
-            num = jax.lax.dot(ph_ref[:, :], oh_w.astype(jnp.float32),
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32) - corr
-            den = nkc_ref[:, 0:1] - corr
+            # ADLDA word term against LIVE counts with exact
+            # self-correction: select this chunk's N_kw rows from the
+            # in-VMEM live window (counts are stale only WITHIN a chunk,
+            # <= 128 tokens — vs the reference's full-sweep cross-worker
+            # staleness, ADLDA.java:176-332), exclude the token's own
+            # count from numerator and the live (V beta + n_k)
+            # denominator. f32 HIGHEST keeps the integer counts exact.
+            sel = jax.lax.dot_general(
+                nkw_out[:, :], oh_w.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # [kpad, chunk]
+            num = sel + beta_ref[0, 0] - corr
+            den = nk_buf[:, 0:1] - corr
             probs = (nd * (num / den)).astype(jnp.bfloat16)
         else:
             ph = jax.lax.dot(ph_ref[:, :], oh_w,
@@ -178,18 +203,30 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
             preferred_element_type=jnp.float32)            # [kpad, dspan]
         ndk_ref[:kpad, pl.ds(win_d * dspan, dspan)] = (
             ndk_ref[:kpad, pl.ds(win_d * dspan, dspan)] + upd)
-        acc += jax.lax.dot_general(
-            oh_w, oh_z, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    nkw_out[:] += acc
+        if collapsed:
+            # apply the chunk's N_kw delta to the live window and the live
+            # n_k totals before the next chunk reads them ({-1,0,1} values
+            # are bf16-exact; f32 accumulation keeps counts exact)
+            nkw_out[:, :] = nkw_out[:, :] + jax.lax.dot_general(
+                oh_w, delta, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            nk_buf[:, :] = nk_buf[:, :] + jnp.sum(
+                delta.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            acc += jax.lax.dot_general(
+                oh_w, oh_z, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    if not collapsed:
+        nkw_out[:] += acc
 
 
 @functools.partial(
     jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
                               "num_topics", "interpret"))
 def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
-                     win_d_chunks, u24=None, nk_plus=None, *, nwin_w, nwin_d,
-                     vspan, dspan, num_topics, interpret=False):
+                     win_d_chunks, u24=None, nk_plus=None, beta=None, *,
+                     nwin_w, nwin_d, vspan, dspan, num_topics,
+                     interpret=False):
     """One PCGS Gibbs sweep: draw z for every token with immediate n_dk
     updates, accumulate N_kw, and return the updated n_dk table.
 
@@ -198,18 +235,24 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
     ndk_table: f32 [kpad + FLAG_ROWS, Dpad] — (n_dk + alpha_k).T padded;
         row kpad = doc_mask flag (1.0 selected / 0.0 not). Aliased: the
         returned table is this buffer updated in place (donate it).
-    phi_vk: f32 [V, K] word table, fixed for the whole sweep: phi for the
-        PCGS/GGS-family conditional, or the STALE (beta + N_kw) counts for
-        the collapsed ADLDA conditional (with `nk_plus`).
+    phi_vk: f32 [V, K] word table: phi, fixed for the whole sweep, for the
+        PCGS/GGS-family conditional — or the sweep-entry N_kw COUNTS
+        (pure integers) for the collapsed ADLDA conditional (with
+        `nk_plus`), which the kernel keeps LIVE chunk to chunk.
     u24: optional int32 [NB, chunks, chunk] of 24-bit uniforms in
         [0, 2^24); replaces the in-kernel PRNG (which InterpretParams
         cannot lower) — the off-TPU test path.
-    nk_plus: optional f32 [K] of (V beta + n_k) sweep-stale denominators.
-        When given, the sweep is the COLLAPSED conditional
+    nk_plus: optional f32 [K] of (V beta + n_k) sweep-entry denominators
+        (consistent with the `phi_vk` counts). When given (with `beta`),
+        the sweep is the COLLAPSED conditional
         (n_dk + alpha_k)(beta + N_kw - own)/(V beta + n_k - own) — ADLDA
         (MyWorkerRunnable.java:65-215) with the token's own assignment
-        excluded exactly from numerator and denominator; the word table is
-        then selected in f32 HIGHEST to keep counts exact.
+        excluded exactly, and with N_kw / n_k kept LIVE: each chunk's
+        count deltas apply before the next chunk draws, so counts are
+        stale only within one 128-token chunk (the reference's replicas
+        are stale across the whole sweep, ADLDA.java:176-332). The
+        returned nkw equals the live table at sweep end == an exact
+        recount of the returned z.
 
     Returns (z [NB, chunks, chunk], nkw [nwin_w * vspan, K] int32,
              ndk_table_out [kpad + FLAG_ROWS, Dpad] f32).
@@ -222,17 +265,31 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
         f"word table must be [V, K]={v, num_topics}, got {phi_vk.shape}"
     collapsed = nk_plus is not None
     assert ndk_table.shape[0] == kpad + FLAG_ROWS
-    ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
-    ph = ph.astype(jnp.float32 if collapsed else jnp.bfloat16)
     nkc_specs, nkc_ops = [], []
+    ph_specs, ph_ops = [], []
     if collapsed:
+        assert beta is not None, "collapsed mode needs beta"
         # [kpad, 128] column-replicated denominators; padding rows get 1.0
-        # so num/den stays finite (num is 0 there)
+        # so num/den stays finite (num is beta with zero nd there)
         nkc = jnp.pad(nk_plus.astype(jnp.float32), (0, kpad - k),
                       constant_values=1.0)
-        nkc_ops = [jnp.broadcast_to(nkc[:, None], (kpad, 128))]
-        nkc_specs = [pl.BlockSpec((kpad, 128), lambda i, *_: (0, 0),
+        nkw_old = jnp.pad(phi_vk.astype(jnp.float32),
+                          ((0, vpad - v), (0, kpad - k)))
+        nkc_ops = [jnp.broadcast_to(nkc[:, None], (kpad, 128)),
+                   jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)),
+                   nkw_old]
+        nkc_specs = [pl.BlockSpec(memory_space=pl.ANY),  # nk seed (HBM)
+                     pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                                  memory_space=pltpu.SMEM),
+                     pl.BlockSpec((vspan, kpad),
+                                  lambda i, seed, ww, fw: (ww[i], 0),
                                   memory_space=pltpu.VMEM)]
+    else:
+        ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
+        ph_ops = [ph.astype(jnp.bfloat16)]
+        ph_specs = [pl.BlockSpec((kpad, vspan),
+                                 lambda i, seed, ww, fw: (0, ww[i]),
+                                 memory_space=pltpu.VMEM)]
 
     wd_rows = max(1, -(-chunks // 128))
     wd3 = jnp.pad(win_d_chunks.reshape(nb, chunks),
@@ -247,6 +304,8 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
                                   lambda i, *_: (i, 0, 0),
                                   memory_space=pltpu.VMEM)]
         u24_ops = [u24]
+    scratch_shapes = ([pltpu.VMEM((kpad, 128), jnp.float32)]
+                      if collapsed else []) + [pltpu.SemaphoreType.DMA]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
@@ -259,9 +318,7 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wd_rows, 128),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((kpad, vspan),
-                         lambda i, seed, ww, fw: (0, ww[i]),
-                         memory_space=pltpu.VMEM),
+            *ph_specs,
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             *nkc_specs,
@@ -277,9 +334,9 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
             pl.BlockSpec((kpad + FLAG_ROWS, dpad), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch_shapes,
     )
-    ndk_idx = 9 + len(nkc_ops) + len(u24_ops)
+    ndk_idx = (8 + len(ph_ops) + len(nkc_ops) + len(u24_ops))
     z, nkw, table = pl.pallas_call(
         functools.partial(
             _pcgs_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
@@ -293,7 +350,7 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
         grid_spec=grid_spec,
         input_output_aliases={ndk_idx: 2},  # ndk_table -> out 2
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, win_w, first_w, w3, d3, z_old, wd3, ph, tril_op,
+    )(seed, win_w, first_w, w3, d3, z_old, wd3, *ph_ops, tril_op,
       *nkc_ops, *u24_ops, ndk_table)
     return z, nkw[:, :num_topics].astype(jnp.int32), table
 
@@ -321,11 +378,16 @@ def fused_pcgs_streamed_vmem_bytes(num_topics, vspan, dspan, block,
     per-block VMEM operands (w/d/z in + z out at `block` tokens), tril,
     and the broadcast nk row in collapsed mode."""
     kpad = max(128, ((num_topics + 127) // 128) * 128)
-    word_bytes = 4 if (collapsed and num_word_tables == 1) else 2
+    if collapsed and num_word_tables == 1:
+        # live-count collapsed PCGS-family mode: the N_kw rmw window IS
+        # the word table — no separate phi stream; add the live-n_k
+        # scratch instead
+        ph_buf = 0
+    else:
+        ph_buf = NBUF * kpad * vspan * 2 * num_word_tables
     tb_buf = (kpad + FLAG_ROWS) * dspan * 4
-    ph_buf = NBUF * kpad * vspan * word_bytes * num_word_tables
     nkw_buf = NBUF * vspan * kpad * 4
-    nkc = kpad * 128 * 4 if collapsed else 0
+    nkc = kpad * 128 * 4 if collapsed else 0  # the live-n_k scratch
     blocks = (4 + (1 if u24 else 0)) * block * 4
     tril = 128 * 128 * 2
     return tb_buf + ph_buf + nkw_buf + nkc + blocks + tril
@@ -491,19 +553,36 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
 
 
 def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
-                        wd_ref, tin_ref, ph_ref, tril_ref, *rest,
+                        wd_ref, tin_ref, *rest,
                         vspan, dspan, kpad, num_topics, chunks, chunk,
                         nblocks, u24_operand, collapsed):
     rest = list(rest)
-    nkc_ref = rest.pop(0) if collapsed else None
+    ph_ref = None if collapsed else rest.pop(0)
+    tril_ref = rest.pop(0)
+    if collapsed:
+        nkc_ref = rest.pop(0)
+        beta_ref = rest.pop(0)
     u24_ref = rest.pop(0) if u24_operand else None
-    (nkw_in_ref, z_out, tout_ref, nkw_out,
-     tb_buf, ph_buf, nkw_buf, sems, cur) = rest
+    nkw_in_ref, z_out, tout_ref, nkw_out, tb_buf = rest[:5]
+    rest = rest[5:]
+    ph_buf = None if collapsed else rest.pop(0)
+    nkw_buf, sems, cur = rest[:3]
+    nk_buf, nk_sem = (rest[3], rest[4]) if collapsed else (None, None)
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
+    # in collapsed mode the N_kw read-modify-write window IS the (live)
+    # word table — there is no separate phi stream
     ensure_dw, ensure_ww, active, finalize = stream_windows(
         i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
-        nkw_in_ref, nkw_out, nkw_buf, [(ph_ref, ph_buf)])
+        nkw_in_ref, nkw_out, nkw_buf,
+        [] if collapsed else [(ph_ref, ph_buf)])
+
+    if collapsed:
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(nkc_ref, nk_buf, nk_sem)
+            cp.start()
+            cp.wait()
 
     if u24_operand:
         u24s = u24_ref[0]
@@ -538,10 +617,16 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
         corr = oh_zold * flag[None, :]
         nd = nd_ext[:kpad, :] - corr
         if collapsed:
-            num = jax.lax.dot(ph_buf[slot], oh_w.astype(jnp.float32),
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32) - corr
-            den = nkc_ref[:, 0:1] - corr
+            # live collapsed word term: the streamed N_kw rmw window holds
+            # the current counts of this w-window (stale only within one
+            # chunk); exclude the token's own count exactly
+            sel = jax.lax.dot_general(
+                nkw_buf[slot], oh_w.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            num = sel + beta_ref[0, 0] - corr
+            den = nk_buf[:, 0:1] - corr
             probs = (nd * (num / den)).astype(jnp.bfloat16)
         else:
             ph = jax.lax.dot(ph_buf[slot], oh_w,
@@ -557,9 +642,16 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
             delta, oh_d.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         tb_buf[:kpad, :] = tb_buf[:kpad, :] + upd
-        nkw_buf[slot] = nkw_buf[slot] + jax.lax.dot_general(
-            oh_w, oh_z, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if collapsed:
+            nkw_buf[slot] = nkw_buf[slot] + jax.lax.dot_general(
+                oh_w, delta, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            nk_buf[:, :] = nk_buf[:, :] + jnp.sum(
+                delta.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            nkw_buf[slot] = nkw_buf[slot] + jax.lax.dot_general(
+                oh_w, oh_z, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(i == nblocks - 1)
     def _():
@@ -571,13 +663,16 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
                               "num_topics", "interpret"))
 def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
                               ww_chunks, wd_chunks, u24=None, nk_plus=None,
-                              *, nwin_w, nwin_d, vspan, dspan, num_topics,
-                              interpret=False):
+                              beta=None, *, nwin_w, nwin_d, vspan, dspan,
+                              num_topics, interpret=False):
     """One PCGS Gibbs sweep over d-window-major StreamBlocks with the
     n_dk table, phi and N_kw all HBM-resident: VMEM holds one streamed
     window of each (the table slice written back on d-window changes),
     so there is NO VMEM gate on K x D. Same conditional semantics as
-    fused_pcgs_sweep (incl. the collapsed ADLDA mode via nk_plus).
+    fused_pcgs_sweep — incl. the collapsed ADLDA mode via nk_plus/beta,
+    where `phi_vk` carries the sweep-entry N_kw counts and the N_kw
+    read-modify-write window doubles as the LIVE word table (no separate
+    phi stream, so the collapsed scratch is SMALLER than the PCGS one).
 
     ndk_table: f32 [kpad + FLAG_ROWS, Dpad] (aliased; donate).
     Returns (z [NB, chunks, chunk], nkw [nwin_w * vspan, K] int32,
@@ -591,16 +686,24 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         f"word table must be [V, K]={v, num_topics}, got {phi_vk.shape}"
     collapsed = nk_plus is not None
     assert ndk_table.shape[0] == kpad + FLAG_ROWS
-    ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
-    ph = ph.astype(jnp.float32 if collapsed else jnp.bfloat16)
-    nkw0 = jnp.zeros((vpad, kpad), jnp.float32)
     nkc_specs, nkc_ops = [], []
+    ph_specs, ph_ops = [], []
     if collapsed:
+        assert beta is not None, "collapsed mode needs beta"
+        nkw0 = jnp.pad(phi_vk.astype(jnp.float32),
+                       ((0, vpad - v), (0, kpad - k)))
         nkc = jnp.pad(nk_plus.astype(jnp.float32), (0, kpad - k),
                       constant_values=1.0)
-        nkc_ops = [jnp.broadcast_to(nkc[:, None], (kpad, 128))]
-        nkc_specs = [pl.BlockSpec((kpad, 128), lambda i, *_: (0, 0),
-                                  memory_space=pltpu.VMEM)]
+        nkc_ops = [jnp.broadcast_to(nkc[:, None], (kpad, 128)),
+                   jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1))]
+        nkc_specs = [pl.BlockSpec(memory_space=pl.ANY),  # nk seed (HBM)
+                     pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                                  memory_space=pltpu.SMEM)]
+    else:
+        nkw0 = jnp.zeros((vpad, kpad), jnp.float32)
+        ph = jnp.pad(phi_vk, ((0, vpad - v), (0, kpad - k))).T
+        ph_ops = [ph.astype(jnp.bfloat16)]
+        ph_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # phi windows (HBM)
     u24_specs, u24_ops = [], []
     if u24 is not None:
         assert u24.shape == (nb, chunks, chunk)
@@ -637,7 +740,7 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
             pl.BlockSpec((1, wd_rows, 128),
                          lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # n_dk table (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # phi windows (HBM)
+            *ph_specs,
             pl.BlockSpec((128, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             *nkc_specs,
@@ -650,19 +753,24 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
             pl.BlockSpec(memory_space=pl.ANY),   # table out (aliased)
             pl.BlockSpec(memory_space=pl.ANY),   # N_kw out (aliased)
         ],
-        scratch_shapes=[
-            pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32),  # tb_buf
-            pltpu.VMEM((NBUF, kpad, vspan), ph.dtype),           # ph_buf
-            pltpu.VMEM((NBUF, vspan, kpad), jnp.float32),        # nkw_buf
-            pltpu.SemaphoreType.DMA((2 + NBUF + NBUF * 2,)),
-            pltpu.SMEM((4 + NBUF,), jnp.int32),                  # cur
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32)]  # tb_buf
+            + ([] if collapsed
+               else [pltpu.VMEM((NBUF, kpad, vspan), jnp.bfloat16)])  # ph
+            + [pltpu.VMEM((NBUF, vspan, kpad), jnp.float32),    # nkw_buf
+               # per-slot loads: word pairs (0 in collapsed mode) + N_kw
+               pltpu.SemaphoreType.DMA(
+                   (2 + NBUF + NBUF * (1 if collapsed else 2),)),
+               pltpu.SMEM((4 + NBUF,), jnp.int32)]              # cur
+            + ([pltpu.VMEM((kpad, 128), jnp.float32),           # live n_k
+                pltpu.SemaphoreType.DMA]
+               if collapsed else [])),
     )
     # alias indices count ALL operands incl. the scalar-prefetch seed:
-    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wwn3=5, wd3=6, table=7, ph=8,
-    # tril=9, [nkc], [u24], nkw = 10 + extras
-    n_extra = len(nkc_ops) + len(u24_ops)
-    table_idx, nkw_idx = 7, 10 + n_extra
+    # seed=0, w3=1, d3=2, z_old=3, ww3=4, wwn3=5, wd3=6, table=7, [ph],
+    # tril, [nkc, beta], [u24], nkw last
+    n_extra = len(ph_ops) + len(nkc_ops) + len(u24_ops)
+    table_idx, nkw_idx = 7, 9 + n_extra
     z, table, nkw = pl.pallas_call(
         functools.partial(
             _pcgs_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
@@ -677,5 +785,6 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         input_output_aliases={table_idx: 1, nkw_idx: 2},
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, w3, d3, z_old, smem3(ww_chunks), smem3(ww_next),
-      smem3(wd_chunks), ndk_table, ph, tril_op, *nkc_ops, *u24_ops, nkw0)
+      smem3(wd_chunks), ndk_table, *ph_ops, tril_op, *nkc_ops, *u24_ops,
+      nkw0)
     return z, nkw[:, :num_topics].astype(jnp.int32), table

@@ -118,9 +118,10 @@ def test_streamed_vmem_gate():
         fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096)
     assert fused_pcgs_streamed_vmem_bytes(1000, 128, 128, 4096) < \
         fused_pcgs_streamed_vmem_bytes(1000, 512, 128, 4096)
-    # collapsed f32 word table + nk row costs more than bf16
+    # collapsed live-count mode needs NO word-table stream (the N_kw rmw
+    # window doubles as the table): cheaper than the bf16 phi stream
     assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
-                                          collapsed=True) > \
+                                          collapsed=True) < \
         fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096)
     # MH double word table in between
     assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
@@ -135,9 +136,10 @@ def test_streamed_vmem_gate():
     assert fused_pcgs_streamed_vmem_bytes(
         1000, v, 128, m.config.token_block) <= fs._STREAMED_VMEM_BUDGET
 
-    # collapsed ADLDA at K=4096 does not fit even at vspan=128 -> gate off
+    # collapsed ADLDA at K=4096 fits since the live-count mode dropped
+    # the f32 word-table stream (was the one gate-off case in round 1)
     ma = ADLDA(LDAConfig(scheme="adlda", topics=4096))
-    assert ma._streamed_vspan() == 0
+    assert ma._streamed_vspan() >= 128
 
     # plain PCGS at K=4096 (bf16 word table) still fits
     mp = LDAPartiallyCollapsedGibbsSampler(

@@ -61,7 +61,7 @@ def test_seq_layout_invariants(vspan, dspan, block):
 
 
 def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128,
-               nk_plus=None):
+               nk_plus=None, beta=None, u24_override=None):
     b = c.cell_blocks_seq(block=512, vspan=vspan, dspan=128, chunk=128)
     nb = b.w_local.shape[0]
     chunks = b.w_local.shape[1] // b.chunk
@@ -79,6 +79,8 @@ def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128,
     # zeros, so the portable path supplies the 24-bit draws as an operand
     u24 = np.random.default_rng(seed).integers(
         0, 2 ** 24, sh3, dtype=np.int64).astype(np.int32)
+    if u24_override is not None:
+        u24 = u24_override(b, sh3, u24)
     z, nkw, table_out = fused_pcgs_sweep(
         jnp.asarray(b.w_local.reshape(sh3)),
         jnp.asarray(b.d_local_a.reshape(sh3)),
@@ -87,6 +89,7 @@ def _run_sweep(c, K, z_flat, doc_mask, phi, alpha, seed=123, vspan=128,
         jnp.asarray(b.first_w), jnp.asarray(b.win_d_chunks),
         jnp.asarray(u24),
         None if nk_plus is None else jnp.asarray(nk_plus, jnp.float32),
+        beta,
         nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=vspan, dspan=128,
         num_topics=K, interpret=jax.default_backend() != "tpu")
     z_out = np.zeros(c.num_tokens, np.int32)
@@ -184,36 +187,121 @@ def test_fused_sweep_collapsed_distribution():
     """Collapsed (ADLDA) mode: chi-square of single-token-doc draws against
     the exact conditional (n_dk+alpha_k)(beta+N_kw-own)/(Vbeta+n_k-own)
     (MyWorkerRunnable.java:65-215 semantics). All D tokens share word 0 and
-    z_old=0, so the stale counts and the own-count correction are known in
-    closed form."""
+    z_old=0. The kernel keeps counts LIVE, so sweep-entry counts are made
+    LARGE (1e6 per topic): <= D reassignments drift the conditional by
+    <= 0.2%, statistically invisible at D draws."""
     from scipy import stats as sps
-    D, K, V = 4000, 5, 2
+    D, K, V = 2000, 5, 2
     c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
     z_flat = np.zeros(D, np.int32)
     alpha = np.array([0.5, 1.0, 2.0, 0.25, 1.25], np.float32)
     beta = 0.3
-    nkw_stale = np.zeros((K, V), np.float64)
-    nkw_stale[0, 0] = D
-    nk_stale = nkw_stale.sum(1)
-    word = (beta + nkw_stale.T).astype(np.float32)       # [V, K]
-    nk_plus = (beta * V + nk_stale).astype(np.float32)   # [K]
+    base = np.array([1.0e6, 1.1e6, 0.9e6, 1.2e6, 0.8e6])
+    nkw_entry = np.zeros((K, V), np.float64)
+    nkw_entry[:, 0] = base
+    nkw_entry[0, 0] += 0  # z_old mass (all topic 0) already inside base
+    nk_entry = nkw_entry.sum(1)
+    counts = nkw_entry.T.astype(np.float32)              # [V, K]
+    nk_plus = (beta * V + nk_entry).astype(np.float32)   # [K]
     own = np.zeros(K)
     own[0] = 1.0  # every token's own assignment is topic 0
-    p = alpha * (beta + nkw_stale[:, 0] - own) / (beta * V + nk_stale - own)
+    p = alpha * (beta + nkw_entry[:, 0] - own) / (beta * V + nk_entry - own)
     p = p / p.sum()
     z_out, nkw, _, _ = _run_sweep(c, K, z_flat, np.ones(D, np.float32),
-                                  word, alpha, seed=21, nk_plus=nk_plus)
+                                  counts, alpha, seed=21, nk_plus=nk_plus,
+                                  beta=beta)
     obs = np.bincount(z_out, minlength=K).astype(np.float64)
     chi2 = float(((obs - p * D) ** 2 / (p * D)).sum())
     assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
-    # the kernel's N_kw output reflects the NEW z (the AD-LDA merge)
-    ref = np.zeros((V, K), np.int64)
-    np.add.at(ref, (c.tokens, z_out), 1)
+    # LIVE bookkeeping: N_kw out = entry counts + (new - old) histograms
+    d_new = np.zeros((V, K), np.int64)
+    np.add.at(d_new, (c.tokens, z_out), 1)
+    d_old = np.zeros((V, K), np.int64)
+    np.add.at(d_old, (c.tokens, z_flat), 1)
+    ref = nkw_entry.T.astype(np.int64) + d_new - d_old
     assert np.array_equal(nkw[:V].astype(np.int64), ref)
 
 
+def _freshness_case():
+    """Two selected single-token docs of the same word in DIFFERENT chunks
+    (d-windows 0 and 1 via 127 empty filler docs), all z_old = 0: force the
+    first-executed token to topic 1 with its injected uniform, then u=0.5
+    on the second token discriminates LIVE counts (p(topic0)=3/7 -> draws
+    topic 1) from sweep-stale counts (p(topic0)=4/7 -> would draw topic 0).
+    Margins are ~7%, far beyond bf16 rounding."""
+    c = Corpus.from_token_lists([[0]] + [[]] * 127 + [[0]], ["w0", "w1"])
+    assert c.num_docs == 129 and c.num_tokens == 2
+    K, beta = 2, 1.0
+    alpha = np.ones(K, np.float32)
+    z_flat = np.zeros(2, np.int32)
+    counts = np.array([[2.0, 0.0], [0.0, 0.0]], np.float32)  # [V, K]
+    nk_plus = np.array([2.0 * beta + 2.0, 2.0 * beta + 0.0], np.float32)
+
+    def override(b, sh3, u24):
+        fi3 = b.flat_index.reshape(sh3)
+        slots = {}
+        for tok in (0, 1):
+            blk, ch, lane = map(int, np.argwhere(fi3 == tok)[0])
+            slots[tok] = (blk, ch, lane)
+        order = sorted((0, 1), key=lambda t: slots[t][:2])
+        first, second = order
+        assert slots[first][:2] != slots[second][:2], "need distinct chunks"
+        u = np.copy(u24)
+        u[slots[first]] = int(0.8 * 2 ** 24)   # -> topic 1 (boundary 4/7)
+        u[slots[second]] = int(0.5 * 2 ** 24)  # live: 3/7<0.5 -> topic 1
+        return u
+
+    return c, K, z_flat, counts, alpha, nk_plus, beta, override
+
+
+def test_fused_sweep_collapsed_live_freshness():
+    c, K, z_flat, counts, alpha, nk_plus, beta, override = _freshness_case()
+    z_out, nkw, _, _ = _run_sweep(
+        c, K, z_flat, np.ones(c.num_docs, np.float32), counts, alpha,
+        seed=5, nk_plus=nk_plus, beta=beta, u24_override=override)
+    assert z_out.tolist() == [1, 1], z_out
+    assert nkw[0, :K].tolist() == [0, 2]
+
+
+def test_streamed_sweep_collapsed_live_freshness():
+    c, K, z_flat, counts, alpha, nk_plus, beta, override = _freshness_case()
+    z_out, nkw, _ = _run_stream_sweep(
+        c, K, z_flat, np.ones(c.num_docs, np.float32), counts, alpha,
+        seed=5, nk_plus=nk_plus, beta=beta, u24_override=override)
+    assert z_out.tolist() == [1, 1], z_out
+    assert nkw[0, :K].tolist() == [0, 2]
+
+
+def test_collapsed_live_bookkeeping_resident_and_streamed():
+    """With an arbitrary (consistent-totals) sweep-entry N_kw that is NOT
+    the z_old histogram, the output must equal entry + (new - old): the
+    collapsed kernels carry the live table, not a from-scratch recount."""
+    rng = np.random.default_rng(7)
+    c = _rand_corpus(7, docs=90, vocab=260)
+    K, V, beta = 6, c.num_types, 0.2
+    alpha = np.full(K, 0.4, np.float32)
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    hist_old = np.zeros((V, K), np.int64)
+    np.add.at(hist_old, (c.tokens, z_flat), 1)
+    offset = rng.integers(0, 4, (V, K)).astype(np.int64)
+    entry = hist_old + offset                               # [V, K]
+    nk_plus = (beta * V + entry.sum(0)).astype(np.float32)
+    doc_mask = np.ones(c.num_docs, np.float32)
+    doc_mask[::4] = 0.0
+    for runner in (_run_sweep, _run_stream_sweep):
+        out = runner(c, K, z_flat, doc_mask, entry.astype(np.float32),
+                     alpha, seed=11, nk_plus=nk_plus, beta=beta)
+        z_out, nkw = out[0], out[1]
+        unsel = doc_mask[c.token_doc_ids()] == 0
+        assert (z_out[unsel] == z_flat[unsel]).all()
+        d_new = np.zeros((V, K), np.int64)
+        np.add.at(d_new, (c.tokens, z_out), 1)
+        ref = entry + d_new - hist_old
+        assert np.array_equal(nkw[:V].astype(np.int64), ref)
+
+
 def _run_stream_sweep(c, K, z_flat, doc_mask, word, alpha, seed=123,
-                      nk_plus=None):
+                      nk_plus=None, beta=None, u24_override=None):
     from ldagroupedgibbssampler_tpu.corpus.ragged import (
         build_stream_blocks_seq)
     from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
@@ -235,6 +323,8 @@ def _run_stream_sweep(c, K, z_flat, doc_mask, word, alpha, seed=123,
     table[kpad, :c.num_docs] = doc_mask
     u24 = np.random.default_rng(seed).integers(
         0, 2 ** 24, sh3, dtype=np.int64).astype(np.int32)
+    if u24_override is not None:
+        u24 = u24_override(b, sh3, u24)
     z, nkw, table_out = fused_pcgs_sweep_streamed(
         jnp.asarray(b.w_local.reshape(sh3)),
         jnp.asarray(b.d_local.reshape(sh3)),
@@ -242,6 +332,7 @@ def _run_stream_sweep(c, K, z_flat, doc_mask, word, alpha, seed=123,
         jnp.asarray([seed], jnp.int32), jnp.asarray(b.win_w_chunks),
         jnp.asarray(b.win_d_chunks), jnp.asarray(u24),
         None if nk_plus is None else jnp.asarray(nk_plus, jnp.float32),
+        beta,
         nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=128, dspan=128,
         num_topics=K, interpret=jax.default_backend() != "tpu")
     z_out = np.zeros(c.num_tokens, np.int32)
