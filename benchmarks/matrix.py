@@ -136,6 +136,7 @@ def main(argv=None):
         with cgs_ctx():
             m1 = create_model(cfg1)
             m1.add_instances(cats)
+            m1.sample(2)  # warmup: compile the serial scan before timing
             t0 = time.perf_counter()
             m1.sample(20)
             dt = (time.perf_counter() - t0) / 20
