@@ -63,13 +63,31 @@ def cdf_draw(tril, probs, u24):
     num_topics-1: when u*total rounds up to total in f32 the raw count
     overshoots into the zero tail, and a plain K-1 clamp would assign a
     zero-probability topic (breaking the exact-zero-support guarantee the
-    Polya-Urn/VS samplers rely on). The last nonzero index is
-    #{(t, r) : tiles[t][r] + offs[t] < total} — exact in f32 because each
-    cumsum entry plus its running offset reproduces total by the same add
-    order for every zero-tail row.
+    Polya-Urn/VS samplers rely on). The last nonzero index is computed
+    directly as a masked-iota max over probs — exact by construction
+    (and one VPU pass instead of the former per-tile cumsum-vs-total
+    compare passes, whose exactness rested on an fp-accumulation-order
+    argument). A fully hierarchical cdf (tile totals locate the target
+    tile, one tril matmul resolves it) measured SLOWER on the sibling GGS
+    kernel both via a skinny tile-sum matmul (the MXU is pass-bound) and
+    via VPU tile sums (the kernel is VPU-bound at large K); the per-tile
+    tril form below is the measured optimum.
     """
     kpad, chunk = probs.shape
     ntile = kpad // 128
+    # per-128-row tiles of compare -> astype -> multiply -> max: both a
+    # full-height [kpad, chunk] mask and jnp.where on an i1 vector trip a
+    # Mosaic relayout bug ("non-singleton dimension replicated in
+    # destination"); the arithmetic form lowers cleanly
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
+    lastnz = jnp.zeros((chunk,), jnp.int32)
+    for t in range(ntile):
+        # f32 cast before the compare: Mosaic rejects bf16-vs-scalar
+        # comparisons on this target
+        m = (probs[t * 128:(t + 1) * 128, :].astype(jnp.float32)
+             > 0).astype(jnp.int32)
+        lastnz = jnp.maximum(
+            lastnz, jnp.max((iota_t + t * 128) * m, axis=0))
     tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
                          preferred_element_type=jnp.float32)
              for t in range(ntile)]
@@ -80,14 +98,10 @@ def cdf_draw(tril, probs, u24):
         total = total + tiles[t][127, :]
     u = u24.astype(jnp.float32) * jnp.float32(2 ** -24) * total
     cnt = jnp.zeros((chunk,), jnp.int32)
-    lastnz = jnp.zeros((chunk,), jnp.int32)
     for t in range(ntile):
         cnt = cnt + jnp.sum(
             (tiles[t] <= (u - offs[t])[None, :]).astype(jnp.int32),
             axis=0)
-        lastnz = lastnz + jnp.sum(
-            ((tiles[t] + offs[t][None, :]) < total[None, :]
-             ).astype(jnp.int32), axis=0)
     return jnp.minimum(cnt, lastnz), total
 
 

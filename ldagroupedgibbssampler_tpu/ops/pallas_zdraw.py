@@ -100,6 +100,14 @@ def _zdraw_kernel(seed_ref, win_w_ref, first_w_ref,
     # the kernel's FLOPs) — with the exclusive running offset of tile
     # totals folded into the comparison threshold (row r of tile t
     # satisfies off_t + cdf_t[r] <= u iff cdf_t[r] <= u - off_t).
+    # (A hierarchical variant — tile totals locate the target tile, one
+    # tril matmul resolves it — measured SLOWER on-chip both with a
+    # skinny tile-sum matmul (25.7M tok/s at K=1000 vs 28.3M: the MXU is
+    # pass-bound, so an [ntile, kpad] matmul costs the same passes as the
+    # trils it replaces) and with VPU tile sums (27.4M: the kernel is
+    # VPU-bound at large K, and sums+masked-select add more VPU work than
+    # the compare passes they remove). The per-tile form below is the
+    # measured optimum.)
     tril = tril_ref[:, :]
     ntile = kpad // 128
 

@@ -406,3 +406,60 @@ def test_fused_gate_off_tpu_and_vmem():
     # the VMEM gate formula: 1M docs at K=100 exceeds 10 MB
     assert fused_pcgs_vmem_bytes(1_000_000, 100, 128) > 10 * 2 ** 20
     assert fused_pcgs_vmem_bytes(10_000, 100, 128) <= 10 * 2 ** 20
+
+
+def test_fused_sweep_large_k_semantics_and_support():
+    """K > 128 exercises the hierarchical tiled cdf_draw (tile totals →
+    target-tile select → single tril matmul): count semantics must hold,
+    and with zero-support phi columns (Polya-Urn/VS-style sparsity) no
+    draw may land on a zero-probability topic — the exact masked-iota
+    lastnz clamp."""
+    rng = np.random.default_rng(11)
+    c = _rand_corpus(2)
+    K, V = 200, c.num_types
+    alpha = np.full(K, 0.3, np.float32)
+    support = np.zeros(K, bool)
+    support[::3] = True  # topics 0, 3, 6, ... have support in both tiles
+    phi = rng.dirichlet(np.full(V, 0.1), K).T.astype(np.float32)
+    phi[:, ~support] = 0.0
+    z_flat = rng.choice(np.flatnonzero(support),
+                        c.num_tokens).astype(np.int32)
+    doc_mask = np.ones(c.num_docs, np.float32)
+    z_out, nkw, table_out, kept_pads = _run_sweep(
+        c, K, z_flat, doc_mask, phi, alpha)
+    assert kept_pads
+    assert support[z_out].all()
+    assert (z_out != z_flat).any()
+    ref_nkw = np.zeros((V, K), np.int64)
+    np.add.at(ref_nkw, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref_nkw)
+    ref_ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ref_ndk, (c.token_doc_ids(), z_out), 1)
+    got = table_out[:K, :c.num_docs].T - alpha[None, :]
+    np.testing.assert_allclose(got, ref_ndk, atol=1e-3)
+
+
+def test_fused_sweep_large_k_distribution():
+    """Chi-square at K = 200 (two topic tiles) against the exact PCGS
+    conditional, mass spread across both tiles, pooled into 8 buckets."""
+    from scipy import stats as sps
+    rng = np.random.default_rng(13)
+    D, K = 8000, 200
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    z_flat = np.zeros(D, np.int32)
+    alpha = (rng.gamma(1.0, 1.0, K) + 0.05).astype(np.float32)
+    # in-kernel decrement of the old z=0 makes the effective doc count
+    # alpha again only if n_d0 entered as alpha+1; _run_sweep builds the
+    # table from z_flat's histogram, so doc 0 carries +1 on topic 0 which
+    # the kernel removes before drawing — the conditional is alpha * phi.
+    phi = np.stack([np.full(K, 0.7, np.float32),
+                    np.full(K, 0.3, np.float32)])  # [V=2, K]
+    p = alpha * phi[0]
+    p = p / p.sum()
+    z_out, _, _, _ = _run_sweep(c, K, z_flat,
+                                np.ones(D, np.float32), phi, alpha, seed=17)
+    edges = np.linspace(0, K, 9).astype(int)
+    obs = np.add.reduceat(np.bincount(z_out, minlength=K), edges[:-1])
+    exp = np.add.reduceat(p * D, edges[:-1])
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert sps.chi2.sf(chi2, len(exp) - 1) > 1e-4, (obs, exp)

@@ -160,3 +160,52 @@ def test_xla_fallback_segmentation_invariant(monkeypatch):
     monkeypatch.setattr(ggs_mod, "_XLA_ZDRAW_TEMP_BYTES", 4096)  # force many
     z2 = run()
     np.testing.assert_array_equal(z1, z2)
+
+
+@pytest.mark.parametrize("precise,stream", [(False, False), (False, True)])
+def test_zdraw_kernel_semantics_large_k_interpret(precise, stream):
+    """K > 128 exercises the hierarchical tiled inverse-CDF (tile totals →
+    target-tile one-hot select → single tril matmul): planted one-hot
+    topics across both topic tiles must be drawn exactly, zeroed-theta
+    docs keep z, and N_kw matches a histogram of the returned z."""
+    rng = np.random.default_rng(3)
+    D, V, K = 210, 300, 200
+    c = Corpus.from_token_lists(
+        [list(rng.integers(0, V, rng.integers(3, 40))) for _ in range(D)],
+        [f"w{i}" for i in range(V)])
+    doc_topic = (np.arange(D) % K).astype(np.int32)
+    theta = np.zeros((D, K), np.float32)
+    theta[np.arange(D), doc_topic] = 1.0
+    theta[::7] = 0.0
+    phi = np.full((V, K), 1.0 / V, np.float32)
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    z_out, nkw = _run_zdraw(c, K, z_flat, theta, phi, precise=precise,
+                            stream=stream)
+    dall = c.token_doc_ids()
+    sel = (dall % 7) != 0
+    assert np.array_equal(z_out[sel], doc_topic[dall][sel])
+    assert np.array_equal(z_out[~sel], z_flat[~sel])
+    ref = np.zeros((V, K), np.int64)
+    np.add.at(ref, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref)
+
+
+def test_zdraw_kernel_distribution_large_k_interpret():
+    """Chi-square at K = 200 (two topic tiles): mass split across both
+    tiles, pooled into 8 buckets spanning the tile boundary."""
+    from scipy import stats as sps
+    rng = np.random.default_rng(5)
+    D, K = 8000, 200
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    w = rng.gamma(1.0, 1.0, K).astype(np.float32) + 0.05
+    theta = np.tile(w / w.sum(), (D, 1))
+    phi = np.stack([np.full(K, 0.6, np.float32),
+                    np.full(K, 0.4, np.float32)])
+    p = theta[0] * phi[0]
+    p = p / p.sum()
+    z_out, _ = _run_zdraw(c, K, np.zeros(D, np.int32), theta, phi, seed=31)
+    edges = np.linspace(0, K, 9).astype(int)
+    obs = np.add.reduceat(np.bincount(z_out, minlength=K), edges[:-1])
+    exp = np.add.reduceat(p * D, edges[:-1])
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert sps.chi2.sf(chi2, len(exp) - 1) > 1e-4, (obs, exp)
