@@ -144,6 +144,27 @@ class TpuLDASampler:
         self.test_corpus = corpus
         return self
 
+    def swap_corpus_tokens(self, corpus: Corpus):
+        """Replace the training tokens with a same-shape corpus, keeping
+        the compiled step and the chain's z / PRNG key (z carries over by
+        canonical flat token index; counts are rebuilt and phi resampled —
+        `set_z_indicators` semantics, a valid conditional draw).
+
+        This is the data-replication hook for joint-distribution (Geweke,
+        "getting it right") validation: every device-resident corpus table
+        rides the step as a jit ARGUMENT (`_with_rebound`), so a swap that
+        preserves the padded shapes re-enters the already-compiled step
+        with new values instead of recompiling per replication."""
+        assert self.corpus is not None, "call add_instances first"
+        assert corpus.num_docs == self.corpus.num_docs
+        assert corpus.num_tokens == self.corpus.num_tokens
+        assert corpus.num_types == self.corpus.num_types
+        z = self.get_z_indicators()
+        self.corpus = corpus
+        self._prepare_device_data(corpus)
+        self.set_z_indicators(z)
+        return self
+
     def _prepare_device_data(self, corpus: Corpus):
         cfg = self.config
         if self.layout == "flat":
