@@ -147,3 +147,24 @@ def test_geweke_pcgs():
     mc = _mc_draws(4000, seed=105)
     sc = _sc_series("pcgs", steps=2600, burn=200, seed=206)
     _agree(mc, sc, [1, 2, 3], "pcgs")
+
+
+def test_geweke_cgs():
+    """The serial collapsed oracle closes the loop: the collapsed z-sweep
+    (z_i | z_-i, w) leaves p(z | w) invariant, and the augmented phi /
+    theta draws (cgs.py::_step) are exact conditionals, so the composite
+    with w ~ Cat(phi_z) must reproduce the ancestral joint — all four
+    statistics."""
+    mc = _mc_draws(4000, seed=107)
+    sc = _sc_series("collapsed", steps=2600, burn=200, seed=208)
+    _agree(mc, sc, [0, 1, 2, 3], "collapsed")
+
+
+def test_geweke_lightpclda():
+    """LightLDA-style Metropolis-Hastings within Gibbs: the word-proposal /
+    doc-proposal MH z-steps must leave the target invariant (acceptance-
+    ratio bugs are exactly what a Geweke run flags), then phi | z, w.
+    No theta in the MH family's state."""
+    mc = _mc_draws(4000, seed=109)
+    sc = _sc_series("lightpclda", steps=2600, burn=200, seed=210)
+    _agree(mc, sc, [1, 2, 3], "lightpclda")
