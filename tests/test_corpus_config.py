@@ -273,3 +273,21 @@ class TestIntervalDumps:
             rows = [l.split("\t") for l in f]
         assert [int(r[0]) for r in rows] == [2, 3, 4, 5]
         assert all(int(r[1]) > 0 for r in rows)
+
+
+def test_example_configs_parse_and_resolve():
+    """examples/*.cfg stay parseable and every subconfig resolves to a
+    registered scheme (the configs are documentation; this pins them to
+    the key surface)."""
+    import glob as _glob
+    from ldagroupedgibbssampler_tpu.config.ini import parse_ini
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgs = sorted(_glob.glob(os.path.join(root, "examples", "*.cfg")))
+    assert len(cfgs) >= 3
+    for path in cfgs:
+        pc = parse_ini(path)
+        assert pc.sub_config_names()
+        for name in pc.sub_config_names():
+            cfg = pc.activate(name)
+            create_model(cfg)  # raises on unknown scheme
