@@ -17,7 +17,10 @@ Communication per iteration (the whole of it):
     tokens span shards because sharding is by type, so doc-topic counts
     are the quantity that must be reduced (the TPU analogue of the
     reference's AtomicInteger delta drain,
-    UncollapsedParallelLDA.java:1107-1221);
+    UncollapsedParallelLDA.java:1107-1221). Runs in int16 (half the
+    collective bytes — 1.6 GB instead of 3.3 GB per iteration at PubMed
+    scale) whenever every doc is shorter than int16 max, since partials
+    and their sum are bounded by doc length; int32 fallback otherwise;
   - one `psum` assembling global N_kw from the shard-local window ranges
     (zero-padded placement, so it is a concatenation riding the same
     all-reduce).
@@ -128,6 +131,14 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
         vspan, dspan = cfg.vocab_span, cfg.doc_span
         block, chunk = cfg.token_block, 128
         S = self.mesh.devices.size
+        # int16 n_dk psum: the [D, K] partial merge is THE cross-chip
+        # reduction of this scheme (PERF.md scaling envelope — 3.3 GB/iter
+        # at PubMed scale in int32); per-shard partials and their sum are
+        # bounded by the doc length, so when every doc is shorter than
+        # int16 max the collective runs at half the bytes. Decided
+        # statically per corpus; wide fallback for pathological docs.
+        self._ndk_i16 = bool(
+            np.max(np.diff(corpus.doc_offsets), initial=0) < 2 ** 15)
         d_all = corpus.token_doc_ids()
         tf = corpus.type_frequencies()
         # frequency-interleaved internal relabeling (see
@@ -268,6 +279,7 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
                           ((0, vpadg - V), (0, 0)))
 
         pe = partial(P, ax)
+        ndk_i16 = self._ndk_i16  # static (per-corpus) closure constant
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(),                     # key
@@ -346,7 +358,11 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
                 ones = jnp.where(mk_.reshape(-1), 1, 0)
                 ndk_p = jnp.zeros((D, K), jnp.int32).at[
                     dff_u[0], z_new3.reshape(-1)].add(ones)
-            ndk = jax.lax.psum(ndk_p, ax)
+            if ndk_i16:
+                ndk = jax.lax.psum(ndk_p.astype(jnp.int16), ax
+                                   ).astype(jnp.int32)
+            else:
+                ndk = jax.lax.psum(ndk_p, ax)
             return z_new3[None], nkw, ndk
 
         z, nkw, ndk = body(k_z, state.z, self.wb3, self.dla3, self.mk3,

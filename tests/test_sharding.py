@@ -306,3 +306,28 @@ def test_interleave_permutation_balances_zipf(mesh8):
     ref = np.zeros((v, 3), np.int64)
     np.add.at(ref, (corpus.tokens, z), 1)
     np.testing.assert_array_equal(np.asarray(model.state.nkw), ref)
+
+
+def test_vocab_sharded_ndk_i16_guard(mesh8, synthetic_corpus):
+    """The int16 n_dk psum engages only when every doc is shorter than
+    int16 max (per-shard partials and their sum are bounded by doc
+    length); a pathological long doc falls back to int32 and both paths
+    conserve counts."""
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs import (
+        VocabShardedGGS)
+    m = VocabShardedGGS(_vcfg(), mesh=mesh8)
+    m.add_instances(synthetic_corpus)
+    assert m._ndk_i16
+    m.sample(3)
+    assert int(np.asarray(m.state.ndk).sum()) == synthetic_corpus.num_tokens
+
+    rng = np.random.default_rng(0)
+    toks = [list(rng.integers(0, 30, 2 ** 15))] + [
+        list(rng.integers(0, 30, 20)) for _ in range(7)]
+    long_c = Corpus.from_token_lists(toks, [f"w{i}" for i in range(30)])
+    m2 = VocabShardedGGS(_vcfg(), mesh=mesh8)
+    m2.add_instances(long_c)
+    assert not m2._ndk_i16
+    m2.sample(3)
+    assert int(np.asarray(m2.state.ndk).sum()) == long_c.num_tokens
