@@ -168,3 +168,17 @@ def test_geweke_lightpclda():
     mc = _mc_draws(4000, seed=109)
     sc = _sc_series("lightpclda", steps=2600, burn=200, seed=210)
     _agree(mc, sc, [1, 2, 3], "lightpclda")
+
+
+def test_geweke_uncollapsed_unsmoothed_phi_deviates():
+    """Second negative control, straight from the reference's own code
+    comment: UncollapsedParallelLDA samples phi ~ Dir(n_k) WITHOUT beta
+    smoothing — flagged incorrect in the reference itself
+    (UncollapsedParallelLDA.java:1313-1315) and reproduced faithfully by
+    scheme `uncollapsed` (smooth_phi=False). Against the beta-smoothed
+    joint, its phi marginal must deviate — and the Geweke harness must
+    detect that."""
+    mc = _mc_draws(4000, seed=111)
+    sc = _sc_series("uncollapsed", steps=1200, burn=200, seed=212)
+    zs = [abs(_geweke_z(mc[:, i], sc[:, i])) for i in [1, 2, 3]]
+    assert max(zs) > 10.0, zs
