@@ -86,7 +86,9 @@ class FusedPCGSSweepMixin:
                 and self.corpus is not None):
             return None
         fits = fused_pcgs_vmem_bytes(self.corpus.num_docs,
-                                     self.config.topics, _SEQ_DSPAN) \
+                                     self.config.topics, _SEQ_DSPAN,
+                                     collapsed=self._streamed_collapsed,
+                                     vspan=self.config.vocab_span) \
             <= _FUSED_PCGS_VMEM_BUDGET
         if fits:
             return "resident"

@@ -369,11 +369,19 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
     return z, nkw[:, :num_topics].astype(jnp.int32), table
 
 
-def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan):
-    """VMEM residency of the n_dk table (the fused-PCGS eligibility gate)."""
+def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan, collapsed=False,
+                          vspan=128):
+    """VMEM residency estimate for the RESIDENT fused-PCGS eligibility
+    gate: the n_dk table, plus — in the live-count collapsed (ADLDA) mode
+    — the per-window operands that mode adds on top of it: the f32
+    nkw_old input block ([vspan, kpad]) and the live-n_k scratch
+    ([kpad, 128]), ~2 MB extra at K=4096 (ADVICE round-2 item 2)."""
     kpad = max(128, ((num_topics + 127) // 128) * 128)
     nwin_d = max(1, (num_docs + dspan - 1) // dspan)
-    return (kpad + FLAG_ROWS) * nwin_d * dspan * 4
+    table = (kpad + FLAG_ROWS) * nwin_d * dspan * 4
+    if collapsed:
+        table += max(128, vspan) * kpad * 4 + kpad * 128 * 4
+    return table
 
 
 NBUF = 3  # streamed-window buffer slots: active / prefetching / draining

@@ -409,11 +409,12 @@ def test_fused_gate_off_tpu_and_vmem():
 
 
 def test_fused_sweep_large_k_semantics_and_support():
-    """K > 128 exercises the hierarchical tiled cdf_draw (tile totals →
-    target-tile select → single tril matmul): count semantics must hold,
+    """K > 128 exercises the multi-tile (K > 128) per-tile tril
+    inverse-CDF cdf_draw (the hierarchical tile-totals variant was
+    measured slower and rejected — PERF.md): count semantics must hold,
     and with zero-support phi columns (Polya-Urn/VS-style sparsity) no
     draw may land on a zero-probability topic — the exact masked-iota
-    lastnz clamp."""
+    last-nonzero clamp."""
     rng = np.random.default_rng(11)
     c = _rand_corpus(2)
     K, V = 200, c.num_types

@@ -164,10 +164,12 @@ def test_xla_fallback_segmentation_invariant(monkeypatch):
 
 @pytest.mark.parametrize("precise,stream", [(False, False), (False, True)])
 def test_zdraw_kernel_semantics_large_k_interpret(precise, stream):
-    """K > 128 exercises the hierarchical tiled inverse-CDF (tile totals →
-    target-tile one-hot select → single tril matmul): planted one-hot
-    topics across both topic tiles must be drawn exactly, zeroed-theta
-    docs keep z, and N_kw matches a histogram of the returned z."""
+    """K > 128 exercises the multi-tile (K > 128) per-tile tril
+    inverse-CDF with the masked-iota last-nonzero clamp (the shipped
+    cdf_draw; the hierarchical tile-totals variant was measured slower
+    and rejected — PERF.md): planted one-hot topics across both topic
+    tiles must be drawn exactly, zeroed-theta docs keep z, and N_kw
+    matches a histogram of the returned z."""
     rng = np.random.default_rng(3)
     D, V, K = 210, 300, 200
     c = Corpus.from_token_lists(

@@ -179,3 +179,34 @@ def test_compute_doc_topic_distances(tmp_path, cats_corpus):
     dp = np.sqrt(((phi[:, None, :] - phi[None, :, :]) ** 2).sum(-1))
     np.fill_diagonal(dp, np.inf)
     np.testing.assert_allclose(got, dp.min(1), rtol=2e-3)
+
+
+def test_svmlight_exporter(logger, synthetic_corpus):
+    """SvmLightExporter parity (tui/SvmLightExporter.java:62-90): the
+    token-index corpus rows, the vocabulary file, and the svmlight rows
+    all round-trip back to the loaded corpus exactly."""
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    from ldagroupedgibbssampler_tpu.tui.svmlight_export import (
+        doc_svmlight_string, doc_token_index_string, export_corpus,
+        read_svmlight_corpus, read_token_index_corpus)
+
+    # include an empty doc to exercise the <empty doc> / "0" branches
+    docs = [list(synthetic_corpus.tokens[
+        synthetic_corpus.doc_offsets[d]:synthetic_corpus.doc_offsets[d + 1]])
+        for d in range(synthetic_corpus.num_docs)] + [[]]
+    corpus = Corpus.from_token_lists(docs, synthetic_corpus.vocab)
+
+    out = export_corpus(corpus, logger, "sub1", svmlight=True)
+    assert read_token_index_corpus(out["corpus"]) == docs
+    assert read_svmlight_corpus(out["svmlight"]) == docs
+    with open(out["vocabulary"]) as f:
+        assert [l.rstrip("\n") for l in f] == list(corpus.vocab)
+
+    # exact string forms of the reference writers
+    assert doc_token_index_string([]) == "<empty doc>"
+    assert doc_svmlight_string([]) == "0"
+    assert doc_token_index_string([3, 1, 3]) == "3, 1, 3"
+    assert doc_svmlight_string([3, 1, 3]) == "3 3:1 1:1 3:1"
+    # noWords truncation (instanceToSvmLightString's second arg)
+    assert doc_svmlight_string([3, 1, 3], 2) == "2 3:1 1:1"
+    assert doc_token_index_string([3, 1, 3], 2) == "3, 1"
