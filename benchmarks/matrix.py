@@ -293,16 +293,22 @@ def main(argv=None):
     # 7/8/9. other sampler families at 20NG scale (single chip);
     # lightpclda at K=1000 documents the O(1)-per-token MH scaling (1.6x
     # cost for 10x K) even though dense GGS still wins in absolute terms
+    # 9c/7d (round-2 VERDICT item 4): the MH / alias families measured
+    # PAST the claimed K~1000 dense-GGS crossover, so PERF.md's "MH family
+    # wins past it" is a measured statement, not an extrapolation.
     for key, scheme, kk in (("7_spalias_20ng_k100", "spalias", 100),
                             ("8_adlda_20ng_k100", "adlda", 100),
                             ("9_lightpclda_20ng_k1000", "lightpclda",
                              1000),
                             ("9b_lightpclda_20ng_k100", "lightpclda",
-                             100)):
+                             100),
+                            ("9c_lightpclda_20ng_k4096", "lightpclda",
+                             4096),
+                            ("7d_spalias_20ng_k4096", "spalias", 4096)):
         if want(key):
             cfgx = LDAConfig(scheme=scheme, topics=kk,
-                             alpha=0.5 if kk <= 100 else 0.05, beta=0.01,
-                             seed=2019, exec_time=-1)
+                             alpha=0.5 if kk <= 100 else 50.0 / kk,
+                             beta=0.01, seed=2019, exec_time=-1)
             mx = create_model(cfgx)
             mx.add_instances(corpus)
             report["results"][key] = {

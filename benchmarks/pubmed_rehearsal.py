@@ -31,8 +31,11 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tokens", type=int, default=7_300_000,
-                    help="subsampled token budget (full PubMed: 730M)")
+    ap.add_argument("--tokens", type=int, default=73_000_000,
+                    help="subsampled token budget (full PubMed: 730M; "
+                         "default 10%% — round-2 VERDICT item 1a raised "
+                         "this 10x so the streamed path the projection "
+                         "table assumes is actually stressed)")
     ap.add_argument("--topics", type=int, default=100)
     ap.add_argument("--out", default="PUBMED_REHEARSAL.json")
     args = ap.parse_args(argv)
@@ -124,6 +127,16 @@ def main(argv=None):
         "count_conservation_ok": True,
         "shard_tokens": shard_tokens,
         "shard_imbalance_maxmean": round(imb, 3),
+        # round-2 fixes, recorded so the artifact proves they are active:
+        # frequency-interleaved type relabeling (ad92427) should pin the
+        # imbalance near the head-type bound ~1.1; the int16 n_dk psum
+        # (8926052) engages whenever every doc < 2^15 tokens.
+        "type_relabeling": "frequency_interleaved",
+        "ndk_psum_dtype": "int16" if model._ndk_i16 else "int32",
+        "ndk_psum_bytes_per_iter_subsample": int(
+            d_sub * args.topics * (2 if model._ndk_i16 else 4)),
+        "ndk_psum_bytes_per_iter_pubmed": int(
+            D_FULL * args.topics * (2 if model._ndk_i16 else 4)),
         "measured_bytes_per_token": round(bytes_per_token, 2),
         "pubmed_projection_bytes_per_chip": proj,
         "fits_16gb_hbm_int32_ndk":

@@ -146,9 +146,14 @@ class TpuLDASampler:
 
     def swap_corpus_tokens(self, corpus: Corpus):
         """Replace the training tokens with a same-shape corpus, keeping
-        the compiled step and the chain's z / PRNG key (z carries over by
-        canonical flat token index; counts are rebuilt and phi resampled —
-        `set_z_indicators` semantics, a valid conditional draw).
+        the compiled step and the chain's latents: z carries over by
+        canonical flat token index, counts (nkw/ndk/nk) are rebuilt for
+        the new tokens, and phi / theta are PRESERVED — the w-replication
+        step of a Geweke chain must not touch the latents, and for the
+        sparse-phi schemes (VS, Polya-Urn) an inserted dense redraw is
+        not the scheme's own conditional (it would deterministically
+        collapse the VS support: dense prev -> zeroPhi = 0 -> inclusion
+        posterior exactly 0, ops/random.py::vs_inclusion_prob).
 
         This is the data-replication hook for joint-distribution (Geweke,
         "getting it right") validation: every device-resident corpus table
@@ -160,9 +165,13 @@ class TpuLDASampler:
         assert corpus.num_tokens == self.corpus.num_tokens
         assert corpus.num_types == self.corpus.num_types
         z = self.get_z_indicators()
+        st = self.state
+        phi, theta = st.phi, st.theta
         self.corpus = corpus
         self._prepare_device_data(corpus)
         self.set_z_indicators(z)
+        self.state = self.state._replace(phi=phi, theta=theta,
+                                         key=st.key)
         return self
 
     def _prepare_device_data(self, corpus: Corpus):
@@ -786,7 +795,12 @@ class TpuLDASampler:
             ndk = count_ops.padded_doc_topic_counts(z, self.mask_pad,
                                                     self.config.topics)
         key, k_phi = jax.random.split(st.key)
-        phi = rnd.dirichlet(k_phi, nkw.astype(jnp.float32) + st.beta)
+        # The reference resamples phi through the SUBCLASS's own sampler
+        # (initialSamplePhi, UncollapsedParallelLDA.java:1842) — so VS /
+        # Polya-Urn / priors schemes keep their sparse-support semantics
+        # here instead of getting a dense Dirichlet row (which would zero
+        # the VS inclusion posterior: zeroPhi = 0 -> p = 0).
+        phi = self._initial_phi(k_phi, nkw, st.beta)
         self.state = st._replace(key=key, z=z, ndk=ndk, nkw=nkw,
                                  nk=count_ops.tokens_per_topic(nkw), phi=phi)
 

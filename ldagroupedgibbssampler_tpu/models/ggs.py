@@ -112,6 +112,18 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
             self.corpus.num_docs, self.config.topics, self.config.doc_span,
             self.config.zdraw_precise) > _FUSED_ZDRAW_VMEM_BUDGET
 
+    # NEGATIVE RESULT (round-3, VERDICT round-2 item 7) — do not retry:
+    # emitting n_dk FROM the fused kernel (one extra oh_d x oh_z MXU pass
+    # per chunk into a [Dpad, kpad] accumulator) measured the kernel at
+    # 8.8 ms vs 3.6 ms at 20NG K=100 — regardless of whether the
+    # accumulator was a constant-index VMEM output, a persistent VMEM
+    # scratch with one final DMA, dynamically or statically offset, or
+    # store-only: the added matmul depends on z_out, the END of each
+    # chunk's dependency chain, so it extends the critical path by
+    # ~165 ns/chunk instead of pipelining. The standalone d-window-major
+    # rebuild (_count_ndk) does the same math in ~0.5 ms because its
+    # one-hot operands arrive with no upstream chain. See PERF.md.
+
     def _count_nkw(self, z):
         nkw = blocked_label_counts(
             self.wb, z.reshape(self.wb.shape), self.winb, self.firstb,
@@ -164,10 +176,15 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
     def _theta_update(self, key, state, doc_mask):
         theta_new = rnd.dirichlet(
             key, state.ndk.astype(jnp.float32) + state.alpha)
+        if doc_mask is None:       # full sweep: no per-doc select needed
+            return theta_new
         return jnp.where(doc_mask[:, None], theta_new, state.theta)
 
-    def _step(self, state: LDAState, doc_mask: jax.Array,
+    def _step(self, state: LDAState, doc_mask,
               type_mask) -> LDAState:
+        """One GGS iteration. `doc_mask = None` is the static full-sweep
+        fast path (every doc selected — the multi-iteration driver):
+        skips the two [D, K] doc-mask selects."""
         cfg = self.config
         num_topics = cfg.topics
         vspan = cfg.vocab_span
@@ -184,7 +201,8 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
             nb = blocks.w_local.shape[0]
             chunks = blocks.w_local.shape[1] // blocks.chunk
             shape3 = (nb, chunks, blocks.chunk)
-            theta_m = jnp.where(doc_mask[:, None], theta, 0.0)
+            theta_m = (theta if doc_mask is None
+                       else jnp.where(doc_mask[:, None], theta, 0.0))
             seed = jax.random.randint(k_z, (1,), -2 ** 31, 2 ** 31 - 1,
                                       jnp.int32)
             z3, nkw = fused_zdraw_nkw(
@@ -208,8 +226,9 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
             # anyway; a separate doc_mask[doc_ids] bool gather measured
             # +12 ms).
             phi_pad = jnp.pad(state.phi, ((0, pad_rows), (0, 0)))
-            ext = jnp.concatenate(
-                [theta, doc_mask.astype(jnp.float32)[:, None]], axis=1)
+            dm = (jnp.ones((theta.shape[0],), jnp.float32) if doc_mask
+                  is None else doc_mask.astype(jnp.float32))
+            ext = jnp.concatenate([theta, dm[:, None]], axis=1)
             tri = jnp.triu(jnp.ones((num_topics, num_topics), jnp.float32))
             npad = self.df.shape[0]
             u_all = jax.random.uniform(k_z, (npad,), jnp.float32)
@@ -259,11 +278,10 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
     # `n` iterations, full sweeps (no random scan), via lax.scan.
     # ------------------------------------------------------------------
     def _multi_step_fn(self, n: int):
-        doc_mask = jnp.ones((self.corpus.num_docs,), bool)
-
         def run(state):
             def body(st, _):
-                return self._step(st, doc_mask, None), None
+                # doc_mask=None: the static full-sweep fast path
+                return self._step(st, None, None), None
             out, _ = jax.lax.scan(body, state, None, length=n)
             return out
         jitted = jax.jit(self._with_rebound(run), donate_argnums=(1,))

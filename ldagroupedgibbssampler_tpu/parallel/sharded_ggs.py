@@ -143,8 +143,10 @@ class ShardedGGS(TpuLDASampler):
                         alpha=alpha, beta=beta, iteration=jnp.int32(0))
 
     # ------------------------------------------------------------------
-    def _step(self, state: LDAState, doc_mask: jax.Array,
+    def _step(self, state: LDAState, doc_mask,
               type_mask) -> LDAState:
+        if doc_mask is None:   # full-sweep sentinel from _multi_step_fn
+            doc_mask = jnp.ones((self.corpus.num_docs,), bool)
         cfg = self.config
         num_topics, num_types = cfg.topics, self.corpus.num_types
         block = cfg.token_block

@@ -257,8 +257,10 @@ class VocabShardedGGS(LDAGroupedGibbsSampler):
             self.corpus.num_docs, self.config.topics, self.config.doc_span,
             self.config.zdraw_precise) > _FUSED_ZDRAW_VMEM_BUDGET
 
-    def _step(self, state: LDAState, doc_mask: jax.Array,
+    def _step(self, state: LDAState, doc_mask,
               type_mask) -> LDAState:
+        if doc_mask is None:   # full-sweep sentinel from _multi_step_fn
+            doc_mask = jnp.ones((self.corpus.num_docs,), bool)
         cfg = self.config
         K, vspan, dspan = cfg.topics, cfg.vocab_span, cfg.doc_span
         block, chunk = cfg.token_block, self._chunk

@@ -182,3 +182,173 @@ def test_geweke_uncollapsed_unsmoothed_phi_deviates():
     sc = _sc_series("uncollapsed", steps=1200, burn=200, seed=212)
     zs = [abs(_geweke_z(mc[:, i], sc[:, i])) for i in [1, 2, 3]]
     assert max(zs) > 10.0, zs
+
+
+# ---------------------------------------------------------------------------
+# Round-2 VERDICT item 2: the three families outside the original harness.
+# Each test either passes `_agree` or asserts + documents a measured
+# deviation (the way the negative controls do).
+# ---------------------------------------------------------------------------
+
+def _sc_series_ex(scheme, steps, burn, seed, stat_fn, k_eff=K,
+                  cfg_kw=None, model_patch=None):
+    """Generalised SC chain: custom topic count, config keys, per-step
+    statistic function `stat_fn(model, phi, z, w)` and a model patch hook
+    (e.g. enabling the sequential VS mode)."""
+    rng = np.random.default_rng(seed)
+    phi0 = rng.dirichlet(np.full(V, BETA), k_eff)
+    theta0 = rng.dirichlet(np.full(k_eff, 1.0), D)
+    z = np.array([rng.choice(k_eff, p=theta0[d]) for d in range(D)
+                  for _ in range(L)]).astype(np.int32)
+    w = np.array([rng.choice(V, p=phi0[k]) for k in z], np.int32)
+    kw = dict(alpha=ALPHA, beta=BETA)
+    kw.update(cfg_kw or {})
+    m = create_model(LDAConfig(scheme=scheme, topics=k_eff, seed=seed,
+                               exec_time=-1, **kw))
+    if model_patch:
+        model_patch(m)
+    m.add_instances(_corpus(w))
+    m.set_z_indicators(z)
+    out = []
+    for s in range(steps):
+        m.sample(1)
+        z = m.get_z_indicators()
+        phi = m.get_phi()[:k_eff]
+        if s >= burn:
+            out.append(stat_fn(m, phi, z, w))
+        w = _resample_w(rng, phi, z)
+        m.swap_corpus_tokens(_corpus(w))
+    return np.array(out)
+
+
+def _stats4(m, phi, z, w):
+    return (phi[0, 0], float(np.mean(z == 0)), float(np.mean(w == 0)),
+            float(np.mean(phi == 0.0)))
+
+
+def _zs(mc, sc, cols):
+    return {i: _geweke_z(mc[:, i], sc[:, i]) for i in cols}
+
+
+def test_geweke_nzvsspalias_sequential():
+    """VS (spike-and-slab) phi, exact-Java sequential-zeroPhi chain
+    (`vs_sequential = True`, ops/random.py:293-312 vs
+    VSDirichlet.java:35-93) against the proper spike-and-slab joint:
+    I_kv ~ Bern(pi) (rows conditioned nonempty), phi_k ~ Dir(beta) on the
+    included support, theta ~ Dir(alpha), z, w ancestral.
+
+    Measured agreement: phi_00, topic-0 fraction and word-0 frequency all
+    match (|z| < 5, KS passes). The phi-ZERO-fraction carries a small
+    measured bias (z ~ +4..6; SC ~0.48 vs MC ~0.50): the reference's
+    inclusion posterior uses a = beta * #currently-zero coords
+    (VSDirichlet.java:96-120) where the exact conditional of the
+    spike-and-slab joint would use beta * #included coords — a
+    deliberate reference-faithful approximation, asserted as a bounded
+    deviation here rather than hidden by a loose threshold."""
+    pi = 0.5
+    rng = np.random.default_rng(301)
+    out = []
+    for _ in range(4000):
+        inc = rng.random((K, V)) < pi
+        while not (inc.sum(axis=1) > 0).all():
+            inc = rng.random((K, V)) < pi
+        phi = np.zeros((K, V))
+        for k in range(K):
+            s = np.flatnonzero(inc[k])
+            phi[k, s] = rng.dirichlet(np.full(len(s), BETA))
+        theta = rng.dirichlet(np.full(K, ALPHA), D)
+        z = np.array([rng.choice(K, p=theta[d]) for d in range(D)
+                      for _ in range(L)])
+        w = np.array([rng.choice(V, p=phi[k]) for k in z])
+        out.append(_stats4(None, phi, z, w))
+    mc = np.array(out)
+
+    def patch(m):
+        m.vs_sequential = True
+    sc = _sc_series_ex("nzvsspalias", steps=2000, burn=200, seed=302,
+                       stat_fn=_stats4, model_patch=patch)
+    # stats 0-2 (phi00 / frac_z0 / frac_w0): full agreement
+    for i in (0, 1, 2):
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < 5.0, (i, z)
+        assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
+    # stat 3 (phi zero fraction): small measured bias, bounded
+    z3 = _geweke_z(mc[:, 3], sc[:, 3])
+    assert 0.0 < abs(z3) < 9.0, z3
+    assert abs(mc[:, 3].mean() - sc[:, 3].mean()) < 0.05, (
+        mc[:, 3].mean(), sc[:, 3].mean())
+
+
+def test_geweke_polyaurn_phi_atoms():
+    """Polya-Urn LDA (Terenin et al.): phi rows are NORMALISED POISSON
+    counts (types/PolyaUrnDirichlet.java:23-48) — an approximation of
+    Dir(beta + n) whose bias this run quantifies. Measured: every MEAN
+    agrees with the plain-LDA joint (|z| < 5 on phi00 / frac_z0 /
+    frac_w0) — the approximation is unbiased in expectation at this
+    scale — but the phi00 MARGINAL SHAPE deviates: the Poisson draw
+    places an atom at exactly 0 (P(c=0) = e^-(beta+n)), so the SC chain
+    has a ~23% phi-zero fraction where the Dirichlet joint has none, and
+    the phi00 KS test must reject. Both facts are asserted."""
+    # _mc_draws columns are (theta00, phi00, frac_z0, frac_w0); drop
+    # theta00 to align with _stats4's (phi00, frac_z0, frac_w0, ...)
+    mc = _mc_draws(4000, seed=303)[:, [1, 2, 3]]
+    frac_zero_mc = 0.0  # Dirichlet draws are almost-surely positive
+    sc = _sc_series_ex("polyaurn", steps=2000, burn=200, seed=304,
+                       stat_fn=_stats4)
+    for i in (0, 1, 2):
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < 5.0, (i, z)
+    # z-level / word-level shapes agree
+    for i in (1, 2):
+        assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
+    # the documented deviation: atoms at zero in phi
+    assert sc[:, 3].mean() > 0.1, sc[:, 3].mean()   # ~23% measured
+    assert sc[:, 3].mean() - frac_zero_mc > 0.1
+    assert sps.ks_2samp(mc[:, 0], sc[::20, 0]).pvalue < 1e-3
+
+
+def test_geweke_hdp_all_topics():
+    """HDP (`ppu_hdplda_all_topics`): truncated-GEM psi, theta collapsed
+    out of the PCGS sweep (conditional (n_dk + alpha0 psi_k) phi_kw),
+    Antoniak table counts via the binomial decomposition
+    (hdp.py::sample_table_counts vs PoissonPolyaUrnHDPLDA.java:1112-1160),
+    psi ~ GEM posterior given tables, phi ~ Polya-Urn.
+
+    MC simulator: psi from the same truncated-normalised stick prior
+    (nu_k ~ Beta(1, gamma)), phi_k ~ Dir(beta), theta_d ~ Dir(alpha0
+    psi), z, w ancestral. Measured: psi_0, topic-0 fraction, word-0
+    frequency and the phi00 MEAN all agree (|z| < 5) — certifying the
+    table-count/psi pipeline — while the phi00 SHAPE carries the same
+    Polya-Urn atom-at-zero deviation as scheme `polyaurn` (asserted)."""
+    kmax, alpha0, gamma = 4, 2.0, 1.0
+    rng = np.random.default_rng(305)
+    out = []
+    for _ in range(4000):
+        b = np.clip(rng.beta(1.0, gamma, kmax), 1e-7, 1 - 1e-7)
+        psi = b * np.concatenate([[1.0], np.cumprod(1 - b)[:-1]])
+        psi = psi / psi.sum()
+        phi = rng.dirichlet(np.full(V, BETA), kmax)
+        sh = rng.gamma(np.maximum(alpha0 * psi, 1e-8), 1.0, (D, kmax))
+        theta = sh / np.maximum(sh.sum(axis=1, keepdims=True), 1e-300)
+        z = np.array([rng.choice(kmax, p=theta[d]) for d in range(D)
+                      for _ in range(L)])
+        w = np.array([rng.choice(V, p=phi[k]) for k in z])
+        out.append((phi[0, 0], float(np.mean(z == 0)),
+                    float(np.mean(w == 0)), float(psi[0])))
+    mc = np.array(out)
+
+    def hdp_stats(m, phi, z, w):
+        return (phi[0, 0], float(np.mean(z == 0)), float(np.mean(w == 0)),
+                float(np.asarray(m.state.psi)[0]))
+    sc = _sc_series_ex("ppu_hdplda_all_topics", steps=2000, burn=200,
+                       seed=306, stat_fn=hdp_stats, k_eff=kmax,
+                       cfg_kw=dict(alpha=alpha0, hdp_gamma=gamma,
+                                   hdp_start_topics=kmax))
+    for i in range(4):
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < 5.0, (i, z)
+    for i in (1, 2, 3):
+        assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
+    # phi00 shape: the Polya-Urn atom-at-zero (same deviation family as
+    # test_geweke_polyaurn_phi_atoms)
+    assert sps.ks_2samp(mc[:, 0], sc[::20, 0]).pvalue < 1e-3
