@@ -11,10 +11,34 @@ Usage:  python benchmarks/matrix.py [--out BENCH_MATRIX.json] [--quick]
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import time
+import traceback
 
 import numpy as np
+
+
+def _save(report, out):
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+@contextlib.contextmanager
+def row_guard(report, out, *keys):
+    """Failure isolation + incremental persistence: one row's crash
+    (e.g. a compile-time VMEM OOM) records an `error` entry for its keys
+    and the rows measured so far are already on disk — a partial run can
+    never lose completed measurements again (round-3 lesson: the
+    K=4096 spalias OOM aborted the whole matrix and the end-of-run-only
+    save dropped every fresh row)."""
+    try:
+        yield
+    except Exception as e:  # noqa: BLE001 — any row failure is recorded
+        traceback.print_exc()
+        for k in keys:
+            report["results"][k] = {"error": repr(e)[:400]}
+    _save(report, out)
 
 
 def _multi_step(model, n):
@@ -153,74 +177,78 @@ def main(argv=None):
     # 2. PCGS on 20NG-scale, K=20
     m2 = None
     if want("2_pcgs_20ng_k20"):
-        cfg2 = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
-                         seed=2019, exec_time=-1)
-        m2 = create_model(cfg2)
-        m2.add_instances(corpus)
-        report["results"]["2_pcgs_20ng_k20"] = {
-            "tokens_per_sec": round(_throughput(m2, corpus, iters), 1)}
+        with row_guard(report, args.out, "2_pcgs_20ng_k20"):
+            cfg2 = LDAConfig(scheme="pcgs", topics=20, alpha=0.5, beta=0.01,
+                             seed=2019, exec_time=-1)
+            m2 = create_model(cfg2)
+            m2.add_instances(corpus)
+            report["results"]["2_pcgs_20ng_k20"] = {
+                "tokens_per_sec": round(_throughput(m2, corpus, iters), 1)}
 
     # 3. GGS on 20NG-scale, K=100 (the headline; bench.py measures the
     #    fused multi-iteration variant)
     m3 = None
     if want("3_ggs_20ng_k100"):
-        cfg3 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
-                         seed=2019, exec_time=-1)
-        m3 = create_model(cfg3)
-        m3.add_instances(corpus)
-        report["results"]["3_ggs_20ng_k100"] = {
-            "tokens_per_sec": round(_throughput(m3, corpus, iters), 1)}
+        with row_guard(report, args.out, "3_ggs_20ng_k100"):
+            cfg3 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
+                             seed=2019, exec_time=-1)
+            m3 = create_model(cfg3)
+            m3.add_instances(corpus)
+            report["results"]["3_ggs_20ng_k100"] = {
+                "tokens_per_sec": round(_throughput(m3, corpus, iters), 1)}
 
     # 3b. GGS quality: held-out LL parity vs the CGS oracle on cats
     mq = None
     if want("3b_ggs_vs_cgs_ll_cats"):
-        cfgq = LDAConfig(scheme="ggs", topics=3, alpha=5.0, beta=7.0,
-                         seed=2019, exec_time=-1)
-        mq = create_model(cfgq)
-        mq.add_instances(cats)
-        mq.sample(100)
-        ll_ggs = float(model_log_likelihood(mq.state.ndk, mq._nkw_kv(),
-                                            mq.get_alpha(), mq.get_beta()))
-        with cgs_ctx():
-            m1.sample(80)   # bring the oracle to 100 iterations too
-            ll_cgs100 = float(model_log_likelihood(
-                m1.state.ndk, m1._nkw_kv(), m1.get_alpha(), m1.get_beta()))
-        report["results"]["3b_ggs_vs_cgs_ll_cats"] = {
-            "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
-            "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
+        with row_guard(report, args.out, "3b_ggs_vs_cgs_ll_cats"):
+            cfgq = LDAConfig(scheme="ggs", topics=3, alpha=5.0, beta=7.0,
+                             seed=2019, exec_time=-1)
+            mq = create_model(cfgq)
+            mq.add_instances(cats)
+            mq.sample(100)
+            ll_ggs = float(model_log_likelihood(mq.state.ndk, mq._nkw_kv(),
+                                                mq.get_alpha(), mq.get_beta()))
+            with cgs_ctx():
+                m1.sample(80)   # bring the oracle to 100 iterations too
+                ll_cgs100 = float(model_log_likelihood(
+                    m1.state.ndk, m1._nkw_kv(), m1.get_alpha(), m1.get_beta()))
+            report["results"]["3b_ggs_vs_cgs_ll_cats"] = {
+                "ggs_ll": round(ll_ggs, 1), "cgs_ll": round(ll_cgs100, 1),
+                "rel_gap": round(abs(ll_ggs - ll_cgs100) / abs(ll_cgs100), 4)}
 
     # 3e. Held-out LL parity (the BASELINE.json metric's second clause):
     #     train GGS and the CGS oracle on the same cats train split, score
     #     the held-out halves with the Wallach left-to-right estimator
     #     (MarginalProbEstimatorPlain.java:85) from each sampler's counts.
     if want("3e_heldout_ll_cats"):
-        from ldagroupedgibbssampler_tpu.corpus.perplexity import (
-            build_perplexity_split)
-        from ldagroupedgibbssampler_tpu.evaluation.marginal import (
-            left_to_right_log_likelihood)
-        cats_full = cats if cats is not None else load_dataset(
-            "/root/reference/src/main/resources/datasets/cats.txt",
-            stoplist_path=None, rare_threshold=0)
-        train, _est, evl = build_perplexity_split(cats_full, 0.3, seed=2019)
-        hlls = {}
-        for scheme in ("ggs", "collapsed"):
-            cfge = LDAConfig(scheme=scheme, topics=3, alpha=5.0, beta=7.0,
-                             seed=2019, exec_time=-1)
-            ctx = cgs_ctx() if scheme == "collapsed" \
-                else contextlib.nullcontext()
-            with ctx:
-                me = create_model(cfge)
-                me.add_instances(train)
-                me.sample(100)
-            hlls[scheme] = left_to_right_log_likelihood(
-                2019, evl, None, me.get_alpha(), num_particles=100,
-                nkw=me._nkw_kv(), nk=me.state.nk, beta=me.get_beta())
-            del me
-        report["results"]["3e_heldout_ll_cats"] = {
-            "ggs_held_out_ll": round(hlls["ggs"], 1),
-            "cgs_held_out_ll": round(hlls["collapsed"], 1),
-            "rel_gap": round(abs(hlls["ggs"] - hlls["collapsed"])
-                             / abs(hlls["collapsed"]), 4)}
+        with row_guard(report, args.out, "3e_heldout_ll_cats"):
+            from ldagroupedgibbssampler_tpu.corpus.perplexity import (
+                build_perplexity_split)
+            from ldagroupedgibbssampler_tpu.evaluation.marginal import (
+                left_to_right_log_likelihood)
+            cats_full = cats if cats is not None else load_dataset(
+                "/root/reference/src/main/resources/datasets/cats.txt",
+                stoplist_path=None, rare_threshold=0)
+            train, _est, evl = build_perplexity_split(cats_full, 0.3, seed=2019)
+            hlls = {}
+            for scheme in ("ggs", "collapsed"):
+                cfge = LDAConfig(scheme=scheme, topics=3, alpha=5.0, beta=7.0,
+                                 seed=2019, exec_time=-1)
+                ctx = cgs_ctx() if scheme == "collapsed" \
+                    else contextlib.nullcontext()
+                with ctx:
+                    me = create_model(cfge)
+                    me.add_instances(train)
+                    me.sample(100)
+                hlls[scheme] = left_to_right_log_likelihood(
+                    2019, evl, None, me.get_alpha(), num_particles=100,
+                    nkw=me._nkw_kv(), nk=me.state.nk, beta=me.get_beta())
+                del me
+            report["results"]["3e_heldout_ll_cats"] = {
+                "ggs_held_out_ll": round(hlls["ggs"], 1),
+                "cgs_held_out_ll": round(hlls["collapsed"], 1),
+                "rel_gap": round(abs(hlls["ggs"] - hlls["collapsed"])
+                                 / abs(hlls["collapsed"]), 4)}
 
     # 4 + 3c/3d. Sharded GGS / ADLDA / vocab-sharded GGS over the mesh
     if jax.device_count() >= 2 and (want("3c") or want("4_") or want("3d")
@@ -234,44 +262,49 @@ def main(argv=None):
         cfg4 = LDAConfig(scheme="ggs", topics=20, alpha=0.5, beta=0.01,
                          seed=2019, exec_time=-1)
         if want("3c"):
-            ms = ShardedGGS(cfg4, mesh=mesh)
-            ms.add_instances(small)
-            report["results"]["3c_sharded_ggs"] = {
-                "devices": jax.device_count(),
-                "tokens_per_sec": round(_throughput(ms, small, iters), 1)}
+            with row_guard(report, args.out, "3c_sharded_ggs"):
+                ms = ShardedGGS(cfg4, mesh=mesh)
+                ms.add_instances(small)
+                report["results"]["3c_sharded_ggs"] = {
+                    "devices": jax.device_count(),
+                    "tokens_per_sec": round(_throughput(ms, small, iters), 1)}
         if want("4_"):
-            ma = ShardedADLDA(cfg4.replace(scheme="adlda"), mesh=mesh)
-            ma.add_instances(small)
-            report["results"]["4_sharded_adlda"] = {
-                "devices": jax.device_count(),
-                "tokens_per_sec": round(_throughput(ma, small, iters), 1)}
+            with row_guard(report, args.out, "4_sharded_adlda"):
+                ma = ShardedADLDA(cfg4.replace(scheme="adlda"), mesh=mesh)
+                ma.add_instances(small)
+                report["results"]["4_sharded_adlda"] = {
+                    "devices": jax.device_count(),
+                    "tokens_per_sec": round(_throughput(ma, small, iters), 1)}
         if want("3d"):
-            from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs \
-                import VocabShardedGGS
-            mv = VocabShardedGGS(cfg4, mesh=mesh)
-            mv.add_instances(small)
-            report["results"]["3d_vocab_sharded_ggs"] = {
-                "devices": jax.device_count(),
-                "tokens_per_sec": round(_throughput(mv, small, iters), 1)}
+            with row_guard(report, args.out, "3d_vocab_sharded_ggs"):
+                from ldagroupedgibbssampler_tpu.parallel.vocab_sharded_ggs \
+                    import VocabShardedGGS
+                mv = VocabShardedGGS(cfg4, mesh=mesh)
+                mv.add_instances(small)
+                report["results"]["3d_vocab_sharded_ggs"] = {
+                    "devices": jax.device_count(),
+                    "tokens_per_sec": round(_throughput(mv, small, iters), 1)}
         if want("2c_sharded_pcgs"):
-            from ldagroupedgibbssampler_tpu.parallel.sharded_pcgs import (
-                ShardedPCGS)
-            mp = ShardedPCGS(cfg4.replace(scheme="pcgs"), mesh=mesh)
-            mp.add_instances(small)
-            report["results"]["2c_sharded_pcgs"] = {
-                "devices": jax.device_count(),
-                "tokens_per_sec": round(_throughput(mp, small, iters), 1)}
+            with row_guard(report, args.out, "2c_sharded_pcgs"):
+                from ldagroupedgibbssampler_tpu.parallel.sharded_pcgs import (
+                    ShardedPCGS)
+                mp = ShardedPCGS(cfg4.replace(scheme="pcgs"), mesh=mesh)
+                mp.add_instances(small)
+                report["results"]["2c_sharded_pcgs"] = {
+                    "devices": jax.device_count(),
+                    "tokens_per_sec": round(_throughput(mp, small, iters), 1)}
 
     # 5. GGS at K=1000 (large-K dense path)
     m5 = None
     if want("5_ggs_20ng_k1000"):
-        cfg5 = LDAConfig(scheme="ggs", topics=1000, alpha=0.05, beta=0.01,
-                         seed=2019, exec_time=-1)
-        m5 = create_model(cfg5)
-        m5.add_instances(corpus)
-        report["results"]["5_ggs_20ng_k1000"] = {
-            "tokens_per_sec": round(_throughput(m5, corpus,
-                                                max(3, iters // 2)), 1)}
+        with row_guard(report, args.out, "5_ggs_20ng_k1000"):
+            cfg5 = LDAConfig(scheme="ggs", topics=1000, alpha=0.05, beta=0.01,
+                             seed=2019, exec_time=-1)
+            m5 = create_model(cfg5)
+            m5.add_instances(corpus)
+            report["results"]["5_ggs_20ng_k1000"] = {
+                "tokens_per_sec": round(_throughput(m5, corpus,
+                                                    max(3, iters // 2)), 1)}
 
     # 5b. GGS at K=4096 (VERDICT item 6: prove the large-K story past
     #     K=1000). The streamed dense kernel's cost model is linear in K
@@ -280,15 +313,16 @@ def main(argv=None):
     #     machinery's target regime. alpha scaled as 50/K like the other
     #     large-K rows.
     if want("5b_ggs_20ng_k4096"):
-        cfg5b = LDAConfig(scheme="ggs", topics=4096, alpha=50.0 / 4096,
-                          beta=0.01, seed=2019, exec_time=-1)
-        m5b = create_model(cfg5b)
-        m5b.add_instances(corpus)
-        report["results"]["5b_ggs_20ng_k4096"] = {
-            "tokens_per_sec": round(_throughput(m5b, corpus, 3), 1),
-            "stream_theta": bool(m5b._use_fused_zdraw()
-                                 and m5b._zdraw_stream_theta())}
-        del m5b
+        with row_guard(report, args.out, "5b_ggs_20ng_k4096"):
+            cfg5b = LDAConfig(scheme="ggs", topics=4096, alpha=50.0 / 4096,
+                              beta=0.01, seed=2019, exec_time=-1)
+            m5b = create_model(cfg5b)
+            m5b.add_instances(corpus)
+            report["results"]["5b_ggs_20ng_k4096"] = {
+                "tokens_per_sec": round(_throughput(m5b, corpus, 3), 1),
+                "stream_theta": bool(m5b._use_fused_zdraw()
+                                     and m5b._zdraw_stream_theta())}
+            del m5b
 
     # 7/8/9. other sampler families at 20NG scale (single chip);
     # lightpclda at K=1000 documents the O(1)-per-token MH scaling (1.6x
@@ -306,15 +340,18 @@ def main(argv=None):
                              4096),
                             ("7d_spalias_20ng_k4096", "spalias", 4096)):
         if want(key):
-            cfgx = LDAConfig(scheme=scheme, topics=kk,
-                             alpha=0.5 if kk <= 100 else 50.0 / kk,
-                             beta=0.01, seed=2019, exec_time=-1)
-            mx = create_model(cfgx)
-            mx.add_instances(corpus)
-            report["results"][key] = {
-                "tokens_per_sec": round(_throughput(mx, corpus,
-                                                    max(3, iters // 2)), 1)}
-            del mx
+            with row_guard(report, args.out, key):
+                cfgx = LDAConfig(scheme=scheme, topics=kk,
+                                 alpha=0.5 if kk <= 100 else 50.0 / kk,
+                                 beta=0.01, seed=2019, exec_time=-1)
+                mx = create_model(cfgx)
+                mx.add_instances(corpus)
+                report["results"][key] = {
+                    "tokens_per_sec": round(
+                        _throughput(mx, corpus, max(3, iters // 2)), 1),
+                    "fused_mode": (getattr(mx, "_fused_mode",
+                                           lambda: None)() or "xla")}
+                del mx
 
     # 8c. ADLDA staleness-contract check at realistic K/V (round-1 weak
     #     item 6): the sweep-stale fused ADLDA's model-LL trajectory must
@@ -322,52 +359,55 @@ def main(argv=None):
     #     of staleness" approximation family as ADLDA.java:176-332, here
     #     measured rather than argued at toy scale.
     if want("8c_adlda_vs_pcgs_ll_20ng"):
-        from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
-            model_log_likelihood as _mll)
-        lls = {}
-        for scheme in ("adlda", "pcgs"):
-            cfg8c = LDAConfig(scheme=scheme, topics=100, alpha=0.5,
-                              beta=0.01, seed=2019, exec_time=-1,
-                              topic_interval=0)
-            m8c = create_model(cfg8c)
-            m8c.add_instances(corpus)
-            m8c.sample(60)
-            lls[scheme] = float(_mll(m8c.state.ndk, m8c._nkw_kv(),
-                                     m8c.get_alpha(), m8c.get_beta()))
-            del m8c
-        report["results"]["8c_adlda_vs_pcgs_ll_20ng"] = {
-            "adlda_ll": round(lls["adlda"], 1),
-            "pcgs_ll": round(lls["pcgs"], 1),
-            "rel_gap": round(abs(lls["adlda"] - lls["pcgs"])
-                             / abs(lls["pcgs"]), 4)}
+        with row_guard(report, args.out, "8c_adlda_vs_pcgs_ll_20ng"):
+            from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
+                model_log_likelihood as _mll)
+            lls = {}
+            for scheme in ("adlda", "pcgs"):
+                cfg8c = LDAConfig(scheme=scheme, topics=100, alpha=0.5,
+                                  beta=0.01, seed=2019, exec_time=-1,
+                                  topic_interval=0)
+                m8c = create_model(cfg8c)
+                m8c.add_instances(corpus)
+                m8c.sample(60)
+                lls[scheme] = float(_mll(m8c.state.ndk, m8c._nkw_kv(),
+                                         m8c.get_alpha(), m8c.get_beta()))
+                del m8c
+            report["results"]["8c_adlda_vs_pcgs_ll_20ng"] = {
+                "adlda_ll": round(lls["adlda"], 1),
+                "pcgs_ll": round(lls["pcgs"], 1),
+                "rel_gap": round(abs(lls["adlda"] - lls["pcgs"])
+                                 / abs(lls["pcgs"]), 4)}
 
     # 10. HDP (Poisson Polya-Urn, full K_max array) at 20NG scale: the
     #     nonparametric family's throughput + how many topics stay active
     if want("10_ppu_hdplda_20ng"):
-        cfgh = LDAConfig(scheme="ppu_hdplda", topics=100, alpha=0.5,
-                         beta=0.01, seed=2019, exec_time=-1)
-        mh = create_model(cfgh)
-        mh.add_instances(corpus)
-        tps = round(_throughput(mh, corpus, max(3, iters // 2)), 1)
-        mh.sample(20)
-        active = int(np.sum(np.asarray(mh.state.nk) > 0))
-        report["results"]["10_ppu_hdplda_20ng"] = {
-            "tokens_per_sec": tps, "active_topics_after_20": active}
-        del mh
+        with row_guard(report, args.out, "10_ppu_hdplda_20ng"):
+            cfgh = LDAConfig(scheme="ppu_hdplda", topics=100, alpha=0.5,
+                             beta=0.01, seed=2019, exec_time=-1)
+            mh = create_model(cfgh)
+            mh.add_instances(corpus)
+            tps = round(_throughput(mh, corpus, max(3, iters // 2)), 1)
+            mh.sample(20)
+            active = int(np.sum(np.asarray(mh.state.nk) > 0))
+            report["results"]["10_ppu_hdplda_20ng"] = {
+                "tokens_per_sec": tps, "active_topics_after_20": active}
+            del mh
 
     # 7c. spalias at K=1000 — the regime the reference's alias tables
     #     target; the fused sweep runs HBM-STREAMED here (the n_dk table
     #     exceeds the VMEM budget at kpad=1024).
     if want("7c_spalias_20ng_k1000"):
-        cfg7c = LDAConfig(scheme="spalias", topics=1000, alpha=0.05,
-                          beta=0.01, seed=2019, exec_time=-1)
-        m7c = create_model(cfg7c)
-        m7c.add_instances(corpus)
-        report["results"]["7c_spalias_20ng_k1000"] = {
-            "tokens_per_sec": round(_throughput(m7c, corpus,
-                                                max(3, iters // 2)), 1),
-            "fused_mode": m7c._fused_mode() or "xla"}
-        del m7c
+        with row_guard(report, args.out, "7c_spalias_20ng_k1000"):
+            cfg7c = LDAConfig(scheme="spalias", topics=1000, alpha=0.05,
+                              beta=0.01, seed=2019, exec_time=-1)
+            m7c = create_model(cfg7c)
+            m7c.add_instances(corpus)
+            report["results"]["7c_spalias_20ng_k1000"] = {
+                "tokens_per_sec": round(_throughput(m7c, corpus,
+                                                    max(3, iters // 2)), 1),
+                "fused_mode": m7c._fused_mode() or "xla"}
+            del m7c
 
     # 6. NYTimes-scale GGS (D=300k, V=102,660, N≈100M — the UCI stats the
     #    reference quotes in datasets/README.txt): production-scale run on
@@ -375,30 +415,32 @@ def main(argv=None):
     #    (w-window, d-window) cell padding low at this document count.
     if (not args.skip_nyt and jax.default_backend() == "tpu"
             and want("6_ggs_nyt_k100")):
-        del m2, m3, m5, mq
-        nyt = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
-        cfg6 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
-                         seed=2019, exec_time=-1, doc_span=1024)
-        m6 = create_model(cfg6)
-        m6.add_instances(nyt)
-        report["results"]["6_ggs_nyt_k100"] = {
-            "num_tokens": nyt.num_tokens,
-            "tokens_per_sec": round(_throughput(m6, nyt, 3), 1)}
+        with row_guard(report, args.out, "6_ggs_nyt_k100"):
+            del m2, m3, m5, mq
+            nyt = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
+            cfg6 = LDAConfig(scheme="ggs", topics=100, alpha=0.5, beta=0.01,
+                             seed=2019, exec_time=-1, doc_span=1024)
+            m6 = create_model(cfg6)
+            m6.add_instances(nyt)
+            report["results"]["6_ggs_nyt_k100"] = {
+                "num_tokens": nyt.num_tokens,
+                "tokens_per_sec": round(_throughput(m6, nyt, 3), 1)}
 
     # 2d. NYTimes-scale PCGS: per-document sequential updates at 100M
     #     tokens on one chip — only possible via the HBM-streamed fused
     #     sweep (n_dk table ~163 MB, HBM-resident).
     if (not args.skip_nyt and jax.default_backend() == "tpu"
             and want("2d_pcgs_nyt_k100")):
-        nyt2 = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
-        cfg2d = LDAConfig(scheme="pcgs", topics=100, alpha=0.5, beta=0.01,
-                          seed=2019, exec_time=-1)
-        m2d = create_model(cfg2d)
-        m2d.add_instances(nyt2)
-        report["results"]["2d_pcgs_nyt_k100"] = {
-            "num_tokens": nyt2.num_tokens,
-            "fused_mode": m2d._fused_mode() or "xla",
-            "tokens_per_sec": round(_throughput(m2d, nyt2, 3), 1)}
+        with row_guard(report, args.out, "2d_pcgs_nyt_k100"):
+            nyt2 = synth_sized(d=300_000, v=102_660, mean_len=333, seed=2)
+            cfg2d = LDAConfig(scheme="pcgs", topics=100, alpha=0.5, beta=0.01,
+                              seed=2019, exec_time=-1)
+            m2d = create_model(cfg2d)
+            m2d.add_instances(nyt2)
+            report["results"]["2d_pcgs_nyt_k100"] = {
+                "num_tokens": nyt2.num_tokens,
+                "fused_mode": m2d._fused_mode() or "xla",
+                "tokens_per_sec": round(_throughput(m2d, nyt2, 3), 1)}
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -412,7 +412,17 @@ def fused_pcgs_streamed_vmem_bytes(num_topics, vspan, dspan, block,
     nkc = kpad * 128 * 4 if collapsed else 0  # the live-n_k scratch
     blocks = (4 + (1 if u24 else 0)) * block * 4
     tril = 128 * 128 * 2
-    return tb_buf + ph_buf + nkw_buf + nkc + blocks + tril
+    # Per-chunk K-proportional compute TEMPS on the Mosaic scoped-VMEM
+    # stack (th/ph selects, probs, per-tile cdfs, compare/count masks —
+    # each [kpad, 128] f32-ish). Calibrated against a measured
+    # compile-time OOM at kpad=4096, vspan=128: scoped allocation 26.25M
+    # vs an 11.6M buffer-only estimate -> temps ~ 7 * kpad * 128 * 4
+    # (the spalias K=4096 row, round 3). Without this term the gate
+    # admits large-K configs whose kernels cannot compile; with it,
+    # kpad >= 4096 correctly falls back to the XLA sweep until the
+    # kernels tile their K-temps.
+    temps = 7 * kpad * 128 * 4
+    return tb_buf + ph_buf + nkw_buf + nkc + blocks + tril + temps
 
 
 def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
