@@ -41,7 +41,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # force the 8-virtual-device CPU mesh if no multi-chip backend
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the ambient env may carry JAX_PLATFORMS=axon (the TPU plugin) even
+    # when the plugin is off PYTHONPATH — force, don't default
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     if jax.device_count() < 8:
         raise SystemExit("need 8 devices (set JAX_PLATFORMS=cpu "

@@ -60,7 +60,7 @@ run matrix python benchmarks/matrix.py --only "${TPU_KEYS// /,}" \
 check_keys BENCH_MATRIX.json $TPU_KEYS
 # 3b. the sharded schemes on the 8-virtual-CPU mesh (axon off PYTHONPATH
 # so the CPU backend loads; regenerates BENCH_MATRIX_CPU_MESH.json)
-run matrix_cpu_mesh env PYTHONPATH=/root/repo \
+run matrix_cpu_mesh env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   python benchmarks/matrix.py --only "${MESH_KEYS// /,}",3_ggs,2_pcgs \
   --out BENCH_MATRIX_CPU_MESH.json --quick
