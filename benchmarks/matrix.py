@@ -362,7 +362,7 @@ def main(argv=None):
         with row_guard(report, args.out, "8c_adlda_vs_pcgs_ll_20ng"):
             from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
                 model_log_likelihood as _mll)
-            lls = {}
+            lls, lls60 = {}, {}
             for scheme in ("adlda", "pcgs"):
                 cfg8c = LDAConfig(scheme=scheme, topics=100, alpha=0.5,
                                   beta=0.01, seed=2019, exec_time=-1,
@@ -370,14 +370,21 @@ def main(argv=None):
                 m8c = create_model(cfg8c)
                 m8c.add_instances(corpus)
                 m8c.sample(60)
+                lls60[scheme] = float(_mll(m8c.state.ndk, m8c._nkw_kv(),
+                                           m8c.get_alpha(), m8c.get_beta()))
+                m8c.sample(140)      # to 200 iterations — both plateau
                 lls[scheme] = float(_mll(m8c.state.ndk, m8c._nkw_kv(),
                                          m8c.get_alpha(), m8c.get_beta()))
                 del m8c
             report["results"]["8c_adlda_vs_pcgs_ll_20ng"] = {
-                "adlda_ll": round(lls["adlda"], 1),
-                "pcgs_ll": round(lls["pcgs"], 1),
-                "rel_gap": round(abs(lls["adlda"] - lls["pcgs"])
-                                 / abs(lls["pcgs"]), 4)}
+                "adlda_ll_200": round(lls["adlda"], 1),
+                "pcgs_ll_200": round(lls["pcgs"], 1),
+                "rel_gap_200": round(abs(lls["adlda"] - lls["pcgs"])
+                                     / abs(lls["pcgs"]), 4),
+                "adlda_ll_60": round(lls60["adlda"], 1),
+                "pcgs_ll_60": round(lls60["pcgs"], 1),
+                "rel_gap_60": round(abs(lls60["adlda"] - lls60["pcgs"])
+                                    / abs(lls60["pcgs"]), 4)}
 
     # 10. HDP (Poisson Polya-Urn, full K_max array) at 20NG scale: the
     #     nonparametric family's throughput + how many topics stay active

@@ -54,6 +54,8 @@ EOF
 # 1+2. on-chip kernel checks via the pytest -m tpu target (one command;
 # includes the X,Y,X window-reuse hazard schedule)
 run tpu_pytest env LDA_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu_kernels.py -v
+# 2b. on-chip Geweke of the fused GGS kernel (also covered by the pytest
+# target above; kept addressable standalone for artifact regeneration)
 # 3. the FULL TPU measurement matrix (every single-chip row)
 run matrix python benchmarks/matrix.py --only "${TPU_KEYS// /,}" \
   --out BENCH_MATRIX.json

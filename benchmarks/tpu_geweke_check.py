@@ -1,0 +1,143 @@
+"""On-chip Geweke "getting it right" check of the FUSED GGS kernel.
+
+tests/test_geweke.py validates the model transitions on CPU — i.e. the
+XLA fallback paths. This script runs the same marginal-conditional vs
+successive-conditional comparison with the real fused Pallas z-draw
+kernel (ops/pallas_zdraw.py) on hardware: the on-chip PRNG, the bf16
+fast path and the cell-block layout all sit inside the validated
+transition, so a bias in any of them (bad PRNG seeding across blocks,
+bf16 rounding that shifts the conditionals beyond MC noise, a layout
+translation bug) surfaces as a marginal mismatch here.
+
+Statistics and thresholds mirror the CPU harness (Geweke z with
+batch-means SE, thinned KS). Exits nonzero on failure; wired into
+`pytest -m tpu` via tests/test_tpu_kernels.py.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+         python benchmarks/tpu_geweke_check.py [--steps 1400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+D, L, V, K = 6, 8, 8, 2
+ALPHA, BETA = 0.8, 0.6
+VOCAB = [f"w{i}" for i in range(V)]
+STATS = ["theta00", "phi00", "frac_z0", "frac_w0"]
+
+
+def mc_draws(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        phi = rng.dirichlet(np.full(V, BETA), K)
+        theta = rng.dirichlet(np.full(K, ALPHA), D)
+        z = np.array([rng.choice(K, p=theta[d]) for d in range(D)
+                      for _ in range(L)])
+        w = np.array([rng.choice(V, p=phi[k]) for k in z])
+        out.append((theta[0, 0], phi[0, 0], float(np.mean(z == 0)),
+                    float(np.mean(w == 0))))
+    return np.array(out)
+
+
+def sc_series(steps, burn, seed, precise):
+    from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
+    from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
+    from ldagroupedgibbssampler_tpu.models.registry import create_model
+
+    def corpus_of(w):
+        return Corpus.from_token_lists(
+            [list(w[d * L:(d + 1) * L]) for d in range(D)], VOCAB)
+
+    rng = np.random.default_rng(seed)
+    phi0 = rng.dirichlet(np.full(V, BETA), K)
+    theta0 = rng.dirichlet(np.full(K, ALPHA), D)
+    z = np.array([rng.choice(K, p=theta0[d]) for d in range(D)
+                  for _ in range(L)]).astype(np.int32)
+    w = np.array([rng.choice(V, p=phi0[k]) for k in z], np.int32)
+    m = create_model(LDAConfig(scheme="ggs", topics=K, alpha=ALPHA,
+                               beta=BETA, seed=seed, exec_time=-1,
+                               zdraw_precise=precise))
+    m.add_instances(corpus_of(w))
+    assert m._use_fused_zdraw(), "fused kernel not engaged — not on TPU?"
+    m.set_z_indicators(z)
+    out = []
+    for s in range(steps):
+        m.sample(1)
+        z = m.get_z_indicators()
+        phi = m.get_phi()[:K]
+        theta00 = float(np.asarray(m.state.theta)[0, 0])
+        if s >= burn:
+            out.append((theta00, phi[0, 0], float(np.mean(z == 0)),
+                        float(np.mean(w == 0))))
+        p = phi[z].astype(np.float64)
+        cdf = np.cumsum(p, axis=1)
+        u = rng.random(len(z)) * cdf[:, -1]
+        w = np.minimum((cdf <= u[:, None]).sum(axis=1), V - 1).astype(
+            np.int32)
+        m.swap_corpus_tokens(corpus_of(w))
+    return np.array(out)
+
+
+def geweke_z(mc_col, sc_col, nbatch=20):
+    n = len(sc_col) // nbatch * nbatch
+    bm = sc_col[:n].reshape(nbatch, -1).mean(axis=1)
+    se2 = mc_col.var() / len(mc_col) + bm.var(ddof=1) / nbatch
+    return float((mc_col.mean() - sc_col.mean()) / np.sqrt(se2))
+
+
+def main(argv=None):
+    from scipy import stats as sps
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1400)
+    ap.add_argument("--burn", type=int, default=200)
+    ap.add_argument("--precise", action="store_true",
+                    help="also run the zdraw_precise=True chain")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    mc = mc_draws(4000, seed=401)
+    report, failed = {}, False
+    modes = [("bf16", False)] + ([("precise", True)] if args.precise
+                                 else [])
+    for name, precise in modes:
+        t0 = time.time()
+        sc = sc_series(args.steps, args.burn, seed=402, precise=precise)
+        rows = {}
+        for i, sn in enumerate(STATS):
+            z = geweke_z(mc[:, i], sc[:, i])
+            ks = float(sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue)
+            ok = abs(z) < 5.0 and ks > 1e-4
+            failed |= not ok
+            rows[sn] = {"z": round(z, 2), "ks_p": ks,
+                        "mc_mean": round(float(mc[:, i].mean()), 4),
+                        "sc_mean": round(float(sc[:, i].mean()), 4),
+                        "pass": ok}
+        report[name] = {"stats": rows, "sc_samples": len(sc),
+                        "seconds": round(time.time() - t0, 1)}
+        print(f"[{name}] " + " ".join(
+            f"{sn}: z={r['z']:+.2f} ks={r['ks_p']:.1e}"
+            f"{'' if r['pass'] else ' FAIL'}"
+            for sn, r in rows.items()))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    if failed:
+        sys.exit("on-chip Geweke check FAILED")
+    print("on-chip Geweke check passed")
+
+
+if __name__ == "__main__":
+    main()
