@@ -36,6 +36,14 @@ def main(argv=None):
                          "default 10%% — round-2 VERDICT item 1a raised "
                          "this 10x so the streamed path the projection "
                          "table assumes is actually stressed)")
+    ap.add_argument("--exec_tokens", type=int, default=18_000_000,
+                    help="token budget for the EXECUTED mesh iterations: "
+                         "the 8 virtual CPU devices replicate every "
+                         "[D, K] table and step temp 8x in host RAM, so "
+                         "full --tokens execution OOMs a 125 GB host at "
+                         "73M tokens (measured, round 3); the partition/"
+                         "imbalance/projection analysis still runs at "
+                         "the full --tokens scale host-side")
     ap.add_argument("--topics", type=int, default=100)
     ap.add_argument("--out", default="PUBMED_REHEARSAL.json")
     args = ap.parse_args(argv)
@@ -77,10 +85,30 @@ def main(argv=None):
     mesh = make_mesh((8,), ("data",))
     cfg = LDAConfig(scheme="ggs", topics=args.topics, alpha=0.5, beta=0.01,
                     seed=2019, exec_time=-1, topic_interval=0)
+    # ---- full-scale shard partition + residency analysis (host only) --
     t0 = time.time()
     model = VocabShardedGGS(cfg, mesh=mesh)
-    model.add_instances(corpus)
+    model._prepare_device_data(corpus)
+    model.corpus = corpus
     t_build = time.time() - t0
+
+    # per-shard token balance from the window partition (at FULL --tokens)
+    shard_tokens = model.shard_token_counts
+    imb = max(shard_tokens) / max(1, (sum(shard_tokens) / len(shard_tokens)))
+    pad_slots_full = sum(model.shard_pad_slots)
+    ndk_i16 = model._ndk_i16
+    del model
+
+    # ---- executed mesh iterations at the host-fitting subsample -------
+    d_exec = max(64, int(round(args.exec_tokens / mean_len)))
+    exec_corpus = Corpus(
+        tokens=tokens[: int(offsets[d_exec])],
+        doc_offsets=offsets[: d_exec + 1],
+        vocab=[f"w{i}" for i in range(V_FULL)])
+    print(f"executing mesh iterations on D={d_exec} "
+          f"N={exec_corpus.num_tokens}")
+    model = VocabShardedGGS(cfg, mesh=mesh)
+    model.add_instances(exec_corpus)
 
     t0 = time.time()
     model.sample(1)           # compile + first step
@@ -90,19 +118,15 @@ def main(argv=None):
     t_iter = (time.time() - t0) / 2
 
     total = int(np.asarray(jax.jit(lambda s: jnp.sum(s.nkw))(model.state)))
-    assert total == corpus.num_tokens, (total, corpus.num_tokens)
+    assert total == exec_corpus.num_tokens, (total, exec_corpus.num_tokens)
     ndk_total = int(np.asarray(
         jax.jit(lambda s: jnp.sum(s.ndk))(model.state)))
-    assert ndk_total == corpus.num_tokens, (ndk_total, corpus.num_tokens)
-
-    # per-shard token balance from the window partition
-    shard_tokens = model.shard_token_counts
-    imb = max(shard_tokens) / max(1, (sum(shard_tokens) / len(shard_tokens)))
+    assert ndk_total == exec_corpus.num_tokens, (
+        ndk_total, exec_corpus.num_tokens)
 
     # full-scale projection: per-token padded-slot bytes measured from the
-    # shard blocks; theta/ndk replicated per chip (PERF.md envelope)
-    pad_slots = sum(model.shard_pad_slots)
-    bytes_per_token = 13.0 * pad_slots / max(1, n)   # 13 B/padded slot
+    # FULL-subsample shard blocks; theta/ndk replicated per chip
+    bytes_per_token = 13.0 * pad_slots_full / max(1, n)   # 13 B/padded slot
     k = args.topics
     kpad = max(128, -(-k // 128) * 128)
     proj = {
@@ -134,11 +158,13 @@ def main(argv=None):
         # imbalance near the head-type bound ~1.1; the int16 n_dk psum
         # (8926052) engages whenever every doc < 2^15 tokens.
         "type_relabeling": "frequency_interleaved",
-        "ndk_psum_dtype": "int16" if model._ndk_i16 else "int32",
+        "ndk_psum_dtype": "int16" if ndk_i16 else "int32",
         "ndk_psum_bytes_per_iter_subsample": int(
-            d_sub * args.topics * (2 if model._ndk_i16 else 4)),
+            d_sub * args.topics * (2 if ndk_i16 else 4)),
         "ndk_psum_bytes_per_iter_pubmed": int(
-            D_FULL * args.topics * (2 if model._ndk_i16 else 4)),
+            D_FULL * args.topics * (2 if ndk_i16 else 4)),
+        "executed_mesh_subsample": {"docs": d_exec,
+                                    "tokens": exec_corpus.num_tokens},
         "measured_bytes_per_token": round(bytes_per_token, 2),
         "pubmed_projection_bytes_per_chip": proj,
         "fits_16gb_hbm_int32_ndk":

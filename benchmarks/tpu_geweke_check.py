@@ -46,7 +46,7 @@ def mc_draws(n, seed):
     return np.array(out)
 
 
-def sc_series(steps, burn, seed, precise):
+def sc_series(steps, burn, seed, precise, scheme="ggs"):
     from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
     from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
     from ldagroupedgibbssampler_tpu.models.registry import create_model
@@ -61,18 +61,23 @@ def sc_series(steps, burn, seed, precise):
     z = np.array([rng.choice(K, p=theta0[d]) for d in range(D)
                   for _ in range(L)]).astype(np.int32)
     w = np.array([rng.choice(V, p=phi0[k]) for k in z], np.int32)
-    m = create_model(LDAConfig(scheme="ggs", topics=K, alpha=ALPHA,
+    m = create_model(LDAConfig(scheme=scheme, topics=K, alpha=ALPHA,
                                beta=BETA, seed=seed, exec_time=-1,
                                zdraw_precise=precise))
     m.add_instances(corpus_of(w))
-    assert m._use_fused_zdraw(), "fused kernel not engaged — not on TPU?"
+    if scheme == "ggs":
+        assert m._use_fused_zdraw(), "fused z-draw off — not on TPU?"
+    else:
+        assert m._use_fused_sweep(), "fused sweep off — not on TPU?"
     m.set_z_indicators(z)
     out = []
     for s in range(steps):
         m.sample(1)
         z = m.get_z_indicators()
         phi = m.get_phi()[:K]
-        theta00 = float(np.asarray(m.state.theta)[0, 0])
+        theta00 = (float(np.asarray(m.state.theta)[0, 0])
+                   if getattr(m.state, "theta", None) is not None
+                   else np.nan)
         if s >= burn:
             out.append((theta00, phi[0, 0], float(np.mean(z == 0)),
                         float(np.mean(w == 0))))
@@ -110,13 +115,21 @@ def main(argv=None):
 
     mc = mc_draws(4000, seed=401)
     report, failed = {}, False
-    modes = [("bf16", False)] + ([("precise", True)] if args.precise
-                                 else [])
-    for name, precise in modes:
+    # one run per FUSED KERNEL FAMILY: the GGS z-draw kernel (bf16 fast
+    # path), the PCGS sequential-sweep kernel, and the LightLDA MH
+    # kernel; `--precise` adds the zdraw_precise GGS chain.
+    modes = [("ggs_bf16", "ggs", False, [0, 1, 2, 3]),
+             ("pcgs_fused", "pcgs", False, [1, 2, 3]),
+             ("lightpclda_fused", "lightpclda", False, [1, 2, 3])]
+    if args.precise:
+        modes.append(("ggs_precise", "ggs", True, [0, 1, 2, 3]))
+    for name, scheme, precise, cols in modes:
         t0 = time.time()
-        sc = sc_series(args.steps, args.burn, seed=402, precise=precise)
+        sc = sc_series(args.steps, args.burn, seed=402, precise=precise,
+                       scheme=scheme)
         rows = {}
-        for i, sn in enumerate(STATS):
+        for i in cols:
+            sn = STATS[i]
             z = geweke_z(mc[:, i], sc[:, i])
             ks = float(sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue)
             ok = abs(z) < 5.0 and ks > 1e-4

@@ -66,10 +66,12 @@ def test_fused_pcgs_onchip_checks():
 
 
 def test_fused_ggs_onchip_geweke():
-    """Geweke 'getting it right' with the REAL fused z-draw kernel: the
-    on-chip PRNG, the bf16 fast path and the cell-block layout all sit
-    inside the validated transition (the CPU Geweke suite only exercises
-    the XLA fallbacks). Measured round 3: all four statistics
-    |z| <= ~1, KS healthy (benchmarks/tpu_geweke_check.py)."""
+    """Geweke 'getting it right' with the REAL fused kernels — one chain
+    per kernel family (GGS z-draw bf16, PCGS sequential sweep, LightLDA
+    MH): the on-chip PRNG, the bf16 fast path and the cell-block layouts
+    all sit inside the validated transitions (the CPU Geweke suite only
+    exercises the XLA fallbacks). Measured round 3: GGS |z| <= 1.04,
+    PCGS |z| <= 0.62, MH |z| <= 1.90, KS healthy on every statistic
+    (benchmarks/tpu_geweke_check.py)."""
     out = _run_script("benchmarks/tpu_geweke_check.py")
     assert "on-chip Geweke check passed" in out, out[-2000:]
