@@ -36,7 +36,7 @@ def main(argv=None):
                          "default 10%% — round-2 VERDICT item 1a raised "
                          "this 10x so the streamed path the projection "
                          "table assumes is actually stressed)")
-    ap.add_argument("--exec_tokens", type=int, default=18_000_000,
+    ap.add_argument("--exec_tokens", type=int, default=7_300_000,
                     help="token budget for the EXECUTED mesh iterations: "
                          "the 8 virtual CPU devices replicate every "
                          "[D, K] table and step temp 8x in host RAM, so "
@@ -45,6 +45,13 @@ def main(argv=None):
                          "imbalance/projection analysis still runs at "
                          "the full --tokens scale host-side")
     ap.add_argument("--topics", type=int, default=100)
+    ap.add_argument("--doc_span", type=int, default=1024,
+                    help="d-window span. PubMed docs average ~89 tokens, "
+                         "so the default dspan=128 leaves ~10 tokens per "
+                         "(w-window, d-window) cell and 128-slot chunk "
+                         "padding inflates residency to ~163 B/token "
+                         "(measured, round 3); 1024 keeps cells full the "
+                         "same way the NYTimes matrix row does")
     ap.add_argument("--out", default="PUBMED_REHEARSAL.json")
     args = ap.parse_args(argv)
 
@@ -84,7 +91,8 @@ def main(argv=None):
 
     mesh = make_mesh((8,), ("data",))
     cfg = LDAConfig(scheme="ggs", topics=args.topics, alpha=0.5, beta=0.01,
-                    seed=2019, exec_time=-1, topic_interval=0)
+                    seed=2019, exec_time=-1, topic_interval=0,
+                    doc_span=args.doc_span)
     # ---- full-scale shard partition + residency analysis (host only) --
     t0 = time.time()
     model = VocabShardedGGS(cfg, mesh=mesh)
@@ -98,6 +106,52 @@ def main(argv=None):
     pad_slots_full = sum(model.shard_pad_slots)
     ndk_i16 = model._ndk_i16
     del model
+
+    # persist the full-scale analysis BEFORE the exec phase: the 8-device
+    # CPU-mesh execution is the OOM-prone part (every [D, K] table and
+    # step temp replicated 8x in host RAM), and losing the completed
+    # analysis to a late OOM cost one round-3 run already
+    bytes_per_token = 13.0 * pad_slots_full / max(1, n)
+    k = args.topics
+    kpad = max(128, -(-k // 128) * 128)
+    proj = {
+        "tokens_per_chip_bytes": int(N_FULL / 8 * bytes_per_token),
+        "theta_bf16_bytes": int(D_FULL * kpad * 2),
+        "ndk_int32_bytes": int(D_FULL * k * 4),
+        "ndk_int16_bytes": int(D_FULL * k * 2),
+        "phi_nkw_shard_bytes": int(V_FULL / 8 * k * (4 + 4)),
+    }
+    proj["total_per_chip_int32_ndk"] = (
+        proj["tokens_per_chip_bytes"] + proj["theta_bf16_bytes"]
+        + proj["ndk_int32_bytes"] + proj["phi_nkw_shard_bytes"])
+    proj["total_per_chip_int16_ndk"] = (
+        proj["tokens_per_chip_bytes"] + proj["theta_bf16_bytes"]
+        + proj["ndk_int16_bytes"] + proj["phi_nkw_shard_bytes"])
+    hbm = 16 * 2 ** 30
+    analysis = {
+        "platform": "host-analysis", "num_devices": 8,
+        "subsample": {"docs": d_sub, "vocab": V_FULL, "tokens": n,
+                      "fraction_of_pubmed": round(n / N_FULL, 4)},
+        "build_seconds": round(t_build, 1),
+        "shard_tokens": shard_tokens,
+        "shard_imbalance_maxmean": round(imb, 3),
+        "type_relabeling": "frequency_interleaved",
+        "ndk_psum_dtype": "int16" if ndk_i16 else "int32",
+        "ndk_psum_bytes_per_iter_subsample": int(
+            d_sub * args.topics * (2 if ndk_i16 else 4)),
+        "ndk_psum_bytes_per_iter_pubmed": int(
+            D_FULL * args.topics * (2 if ndk_i16 else 4)),
+        "measured_bytes_per_token": round(bytes_per_token, 2),
+        "pubmed_projection_bytes_per_chip": proj,
+        "fits_16gb_hbm_int32_ndk": proj["total_per_chip_int32_ndk"] < hbm,
+        "fits_16gb_hbm_int16_ndk": proj["total_per_chip_int16_ndk"] < hbm,
+    }
+    with open(args.out, "w") as f:
+        json.dump(analysis, f, indent=2)
+    print("analysis phase saved:", json.dumps(
+        {k: v for k, v in analysis.items()
+         if k not in ("pubmed_projection_bytes_per_chip", "shard_tokens")},
+        indent=2))
 
     # ---- executed mesh iterations at the host-fitting subsample -------
     d_exec = max(64, int(round(args.exec_tokens / mean_len)))
