@@ -464,3 +464,24 @@ def test_fused_sweep_large_k_distribution():
     exp = np.add.reduceat(p * D, edges[:-1])
     chi2 = float(((obs - exp) ** 2 / exp).sum())
     assert sps.chi2.sf(chi2, len(exp) - 1) > 1e-4, (obs, exp)
+
+
+def test_streamed_vmem_gate_counts_k_temps():
+    """The streamed-sweep gate must include the kernels' K-proportional
+    scoped-VMEM compute temps (round-3 fix, calibrated against a
+    measured compile-time OOM at kpad=4096): K=1000 configs stay
+    fused-eligible at some vspan, while kpad=4096 PCGS-family streamed
+    configs exceed the scoped limit at ANY vspan and must fall back to
+    the XLA sweep."""
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+        fused_pcgs_streamed_vmem_bytes)
+    budget = 14 * 2 ** 20
+    # K=1000: fits at vspan<=256 (the measured 7c row runs fused)
+    assert fused_pcgs_streamed_vmem_bytes(1000, 256, 128, 4096) <= budget
+    # K=4096: the temps alone (~7 * 4096 * 128 * 4 B) exceed the budget
+    # at the minimum vspan — the config that OOM'd at compile time
+    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096) > budget
+    # MH kernel (2 word tables) at K=1000 must also remain eligible at
+    # the minimum vspan (the measured 9_lightpclda_20ng_k1000 row)
+    assert fused_pcgs_streamed_vmem_bytes(
+        1000, 128, 128, 4096, num_word_tables=2) <= budget
