@@ -46,7 +46,13 @@ with open(path) as f:
 missing = [k for k in keys if k not in results]
 if missing:
     sys.exit(f"{path}: MISSING matrix rows: {missing}")
-print(f"{path}: all {len(keys)} expected rows present")
+# a row that crashed is recorded as {"error": ...} by matrix.py's
+# row_guard — present on disk but NOT measured; fail on those too
+errored = [k for k in keys if "error" in results[k]]
+if errored:
+    sys.exit(f"{path}: rows recorded an ERROR instead of a measurement: "
+             f"{ {k: results[k]['error'][:120] for k in errored} }")
+print(f"{path}: all {len(keys)} expected rows present and measured")
 EOF
   [ $? -ne 0 ] && FAILED=1
 }
