@@ -352,3 +352,35 @@ def test_geweke_hdp_all_topics():
     # phi00 shape: the Polya-Urn atom-at-zero (same deviation family as
     # test_geweke_polyaurn_phi_atoms)
     assert sps.ks_2samp(mc[:, 0], sc[::20, 0]).pvalue < 1e-3
+
+
+def test_geweke_lightpclda_w2_count_proposal():
+    """LightPCLDAtypeTopicProposal (scheme `lightpcldaw2`): the word
+    proposal comes from type-topic COUNTS (nonZeroTypeTopics /
+    topicCountBetaHat, LightPCLDAtypeTopicProposal.java:23-53) instead
+    of phi — a different proposal distribution whose acceptance ratio
+    must still leave the target invariant. Measured: phi00 / frac_z0 /
+    frac_w0 all agree (|z| <= ~1.5, KS healthy)."""
+    mc = _mc_draws(4000, seed=307)[:, [1, 2, 3]]
+    sc = _sc_series_ex("lightpcldaw2", steps=2000, burn=200, seed=308,
+                       stat_fn=_stats4)
+    for i in (0, 1, 2):
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < 5.0, (i, z)
+        assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
+
+
+def test_geweke_lightcollapsed():
+    """CollapsedLightLDA (scheme `lightcollapsed`): fully-collapsed
+    MH — count-based word proposal + doc proposal from the doc's own
+    topic sequence, acceptance against the collapsed target
+    (CollapsedLightLDA.java:895-1137). At this corpus size the
+    sweep-staleness is negligible and the transition must reproduce the
+    joint. Measured: |z| <= ~1.3, KS healthy on all three statistics."""
+    mc = _mc_draws(4000, seed=307)[:, [1, 2, 3]]
+    sc = _sc_series_ex("lightcollapsed", steps=2000, burn=200, seed=310,
+                       stat_fn=_stats4)
+    for i in (0, 1, 2):
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < 5.0, (i, z)
+        assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
