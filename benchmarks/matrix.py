@@ -338,7 +338,11 @@ def main(argv=None):
                              100),
                             ("9c_lightpclda_20ng_k4096", "lightpclda",
                              4096),
-                            ("7d_spalias_20ng_k4096", "spalias", 4096)):
+                            ("7d_spalias_20ng_k4096", "spalias", 4096),
+                            # 8d: the COLLAPSED (live-count ADLDA) variant
+                            # of the K-tiled streamed chunk body, measured
+                            # at the same K=4096 regime as 7d
+                            ("8d_adlda_20ng_k4096", "adlda", 4096)):
         if want(key):
             with row_guard(report, args.out, key):
                 cfgx = LDAConfig(scheme=scheme, topics=kk,

@@ -347,6 +347,47 @@ assert np.allclose(tsxl[:Kx, :Dx].T - 0.4, refdxl, atol=1e-3)
 print("4b3. collapsed live streamed X,Y,X reuse: entry+delta ok "
       "after 6 sweeps")
 
+# ---- 4b4. K-TILED streamed chunk body on-chip (kpad >= KTILE_MIN) --------
+# kpad=2048 engages the tiled body (probs staged through the bf16
+# scratch, per-tile selects/updates, nbuf=2 window slots): validate count
+# semantics under the REAL in-kernel PRNG for both the PCGS (phi) and the
+# collapsed LIVE modes — the rows 7d/8d kernels in miniature.
+Kt = 2048
+zt0 = rng.integers(0, Kt, c.num_tokens).astype(np.int32)
+phit = rng.dirichlet(np.full(V, 0.05), Kt).T.astype(np.float32)
+zt, nkwt, tst, dtt = run_stream(c, Kt, zt0, doc_mask, phit,
+                                np.full(Kt, 0.05, np.float32), 911)
+unsel_t = doc_mask[dall] == 0
+assert (zt[unsel_t] == zt0[unsel_t]).all()
+assert (zt[~unsel_t] != zt0[~unsel_t]).any()
+reft = np.zeros((V, Kt), np.int64)
+np.add.at(reft, (c.tokens, zt), 1)
+assert np.array_equal(nkwt[:V].astype(np.int64), reft), \
+    "K-tiled streamed body corrupted N_kw"
+refdt = np.zeros((D, Kt), np.int64)
+np.add.at(refdt, (dall, zt), 1)
+assert np.allclose(tst[:Kt, :D].T - 0.05, refdt, atol=1e-3), \
+    "K-tiled streamed body corrupted the n_dk table"
+assert len(np.unique(zt[~unsel_t])) > Kt // 8  # PRNG non-degenerate
+print(f"4b4. K-tiled streamed (K={Kt}): counts ok after 6 sweeps; "
+      f"{c.num_tokens / dtt / 1e6:.1f}M tokens/s (tiny corpus)")
+entry_t = np.zeros((V, Kt), np.int64)
+np.add.at(entry_t, (c.tokens, zt0), 1)
+beta_t = 0.05
+ztl, nkwtl, tstl, _ = run_stream(
+    c, Kt, zt0, np.ones(D, np.float32), entry_t.astype(np.float32),
+    np.full(Kt, 0.05, np.float32), 913,
+    nk_plus=(beta_t * V + entry_t.sum(0)).astype(np.float32), beta=beta_t)
+d_new_t = np.zeros((V, Kt), np.int64)
+np.add.at(d_new_t, (c.tokens, ztl), 1)
+assert np.array_equal(nkwtl[:V].astype(np.int64), d_new_t), \
+    "K-tiled collapsed live body: N_kw != exact recount of returned z"
+refdtl = np.zeros((D, Kt), np.int64)
+np.add.at(refdtl, (dall, ztl), 1)
+assert np.allclose(tstl[:Kt, :D].T - 0.05, refdtl, atol=1e-3)
+print(f"4b4. K-tiled collapsed live streamed (K={Kt}): counts ok "
+      "after 6 sweeps")
+
 # ---- 4c. streamed MH (lightpclda above the VMEM budget) ------------------
 from ldagroupedgibbssampler_tpu.models import fused_sweep as _fs
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
-    FLAG_ROWS, fused_pcgs_sweep, fused_pcgs_sweep_streamed,
+    FLAG_ROWS, KTILE_MIN, fused_pcgs_sweep, fused_pcgs_sweep_streamed,
     fused_pcgs_streamed_vmem_bytes, fused_pcgs_vmem_bytes)
 
 # VMEM residency budget for the n_dk table (same gate style as the GGS
@@ -58,6 +58,16 @@ class FusedPCGSSweepMixin:
     _streamed_word_tables = 1   # 2 for the MH kernel (target + proposal)
     _streamed_collapsed = False  # True for the ADLDA collapsed conditional
 
+    def _streamed_block(self) -> int:
+        """Token block for the STREAMED layout. When the K-tiled chunk
+        body engages (kpad >= KTILE_MIN) the kernel unrolls
+        chunks-per-block x K-tiles tile bodies, so the block is capped at
+        1024 tokens (8 chunks x 32 tiles at kpad=4096 ~= the measured
+        K=1000 program size) to bound Mosaic compile time; the extra grid
+        steps are noise against the large-K per-chunk compute."""
+        blk = self.config.token_block
+        return min(blk, 1024) if self._kpad() >= KTILE_MIN else blk
+
     def _streamed_vspan(self) -> int:
         """Largest vspan (config value halved down to 128) whose streamed
         scratch fits _STREAMED_VMEM_BUDGET; 0 if even vspan=128 is over
@@ -67,7 +77,7 @@ class FusedPCGSSweepMixin:
         while vspan >= 128:
             need = fused_pcgs_streamed_vmem_bytes(
                 self.config.topics, vspan, _SEQ_DSPAN,
-                self.config.token_block,
+                self._streamed_block(),
                 collapsed=self._streamed_collapsed,
                 num_word_tables=self._streamed_word_tables)
             if need <= _STREAMED_VMEM_BUDGET:
@@ -112,7 +122,7 @@ class FusedPCGSSweepMixin:
                 b = build_stream_blocks(
                     corpus.tokens, corpus.token_doc_ids(),
                     corpus.num_types, corpus.num_docs,
-                    block=self.config.token_block,
+                    block=self._streamed_block(),
                     vspan=self._streamed_vspan(), dspan=_SEQ_DSPAN)
             self._sblocks = b
             nb = b.w_local.shape[0]

@@ -29,6 +29,20 @@ valid MH sampler for the quantised-word-table target.
 N_kw accumulates in w-window-major blocks exactly like the PCGS kernel
 (zeroed on first_w) — for the PC variants it feeds phi ~ Dir(beta + N_kw);
 for the collapsed variant it IS the per-sweep count merge.
+
+NOT K-tiled (decision recorded so it isn't retried): unlike the PCGS
+kernels, this kernel keeps the UNTILED chunk body at every K, so the
+streamed VMEM gate (ops/pallas_pcgs.py::fused_pcgs_streamed_vmem_bytes,
+num_word_tables=2) correctly keeps K>=4096 MH configs on the XLA
+fallback. Tiling here would need ~3 staged buffers (qw + ndq16 for the
+two draws, plus either staging or recomputing nd/tw for the k1/k2
+acceptance selects) across ~6 tile passes — ~1.5x the MXU passes — and
+the one-hot-matmul MH formulation is already linear in K (measured
+45.4M tok/s at K=100 -> 8.7M at K=1000; extrapolated ~2.6M at K=4096),
+so a tiled kernel lands at ~1.7M, at or below the measured 1.8M XLA
+fallback (BENCH_MATRIX row 9c). The MH family's O(1)-per-token property
+does not survive the gather-free formulation; at large K the dense
+streamed GGS (8.1M at K=4096) is the measured winner regardless.
 """
 
 from __future__ import annotations

@@ -381,10 +381,24 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan, collapsed=False,
     table = (kpad + FLAG_ROWS) * nwin_d * dspan * 4
     if collapsed:
         table += max(128, vspan) * kpad * 4 + kpad * 128 * 4
-    return table
+    # the RESIDENT kernel keeps the UNTILED chunk body at every K, so its
+    # per-chunk scoped-VMEM temps (~7 * kpad * 128 * 4, see the streamed
+    # gate) count against the budget too: a tiny-corpus K >= 2048 config
+    # whose table alone fits must still fail over to the K-tiled STREAMED
+    # kernel rather than compile-OOM here.
+    return table + 7 * kpad * 128 * 4
 
 
 NBUF = 3  # streamed-window buffer slots: active / prefetching / draining
+
+# kpad threshold at which the STREAMED kernels switch to the K-TILED
+# chunk body: probs staged through a [kpad, 128] bf16 VMEM scratch and
+# every other per-chunk temp bounded at one 128-row K-tile, so the
+# Mosaic scoped-VMEM allocation stops growing ~7*kpad*128*4 with K (the
+# round-3 measured compile-time OOM at kpad=4096). Below the threshold
+# the untiled body (fewer passes over probs) remains the measured
+# optimum.
+KTILE_MIN = 2048
 
 
 def fused_pcgs_streamed_vmem_bytes(num_topics, vspan, dspan, block,
@@ -400,15 +414,20 @@ def fused_pcgs_streamed_vmem_bytes(num_topics, vspan, dspan, block,
     per-block VMEM operands (w/d/z in + z out at `block` tokens), tril,
     and the broadcast nk row in collapsed mode."""
     kpad = max(128, ((num_topics + 127) // 128) * 128)
+    # the K-tiled chunk body exists only in the PCGS/ADLDA kernels
+    # (num_word_tables == 1); it runs with TWO window slots instead of
+    # NBUF (see _pcgs_stream_kernel). The MH kernel is untiled at all K.
+    tiled = kpad >= KTILE_MIN and num_word_tables == 1
+    nbuf = 2 if tiled else NBUF
     if collapsed and num_word_tables == 1:
         # live-count collapsed PCGS-family mode: the N_kw rmw window IS
         # the word table — no separate phi stream; add the live-n_k
         # scratch instead
         ph_buf = 0
     else:
-        ph_buf = NBUF * kpad * vspan * 2 * num_word_tables
+        ph_buf = nbuf * kpad * vspan * 2 * num_word_tables
     tb_buf = (kpad + FLAG_ROWS) * dspan * 4
-    nkw_buf = NBUF * vspan * kpad * 4
+    nkw_buf = nbuf * vspan * kpad * 4
     nkc = kpad * 128 * 4 if collapsed else 0  # the live-n_k scratch
     blocks = (4 + (1 if u24 else 0)) * block * 4
     tril = 128 * 128 * 2
@@ -417,16 +436,22 @@ def fused_pcgs_streamed_vmem_bytes(num_topics, vspan, dspan, block,
     # each [kpad, 128] f32-ish). Calibrated against a measured
     # compile-time OOM at kpad=4096, vspan=128: scoped allocation 26.25M
     # vs an 11.6M buffer-only estimate -> temps ~ 7 * kpad * 128 * 4
-    # (the spalias K=4096 row, round 3). Without this term the gate
-    # admits large-K configs whose kernels cannot compile; with it,
-    # kpad >= 4096 correctly falls back to the XLA sweep until the
-    # kernels tile their K-temps.
-    temps = 7 * kpad * 128 * 4
+    # (the spalias K=4096 row, round 3). At kpad >= KTILE_MIN the
+    # streamed kernels switch to the K-TILED chunk body: probs stage
+    # through a [kpad, 128] bf16 VMEM scratch and every other temp is
+    # bounded at one 128-row K-tile, so the term collapses to the
+    # probs_buf + an O(tile) allowance and kpad=4096 PCGS/ADLDA configs
+    # fit the budget (the former gate refusal is what rows 7d/9c
+    # measured as the XLA fallback).
+    if tiled:
+        temps = kpad * 128 * 2 + 12 * 128 * 128 * 4
+    else:
+        temps = 7 * kpad * 128 * 4
     return tb_buf + ph_buf + nkw_buf + nkc + blocks + tril + temps
 
 
 def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
-                   nkw_in_ref, nkw_out, nkw_buf, word_pairs):
+                   nkw_in_ref, nkw_out, nkw_buf, word_pairs, nbuf=NBUF):
     """Window-switch DMA machinery shared by the streamed sweep kernels,
     with TRIPLE-BUFFERED LOOKAHEAD PREFETCH of the w-window tables: the
     host passes each chunk's NEXT w-window (`ensure_ww(wwc, wwn)`), so the
@@ -464,7 +489,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         cur[1] = jnp.int32(-1)
         cur[2] = jnp.int32(0)
         cur[3] = jnp.int32(-1)
-        for s in range(NBUF):
+        for s in range(nbuf):
             cur[4 + s] = jnp.int32(-1)
 
     def tb_store():
@@ -508,7 +533,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         # SAME WINDOW on another slot — the N_kw load reads the HBM
         # region that store writes (read-modify-write ordering; reachable
         # with 3 slots at window-reuse distance 2, e.g. X,Y,X)
-        for s in range(NBUF):
+        for s in range(nbuf):
             @pl.when((cur[4 + s] >= 0)
                      & ((jnp.int32(s) == slot) | (cur[4 + s] == ww_t)))
             def _(s=s):
@@ -519,7 +544,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         @pl.when(wwc != cur[1])
         def _():
             a = cur[2]
-            b = jax.lax.rem(a + jnp.int32(1), jnp.int32(NBUF))
+            b = jax.lax.rem(a + jnp.int32(1), jnp.int32(nbuf))
             pre = cur[3]  # snapshot BEFORE the branches mutate it
             # fire the outgoing window's N_kw store (waited before a
             # conflicting refill, or in finalize)
@@ -551,7 +576,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         # lookahead prefetch into the next rotation slot
         @pl.when((wwn != cur[1]) & (cur[3] != wwn))
         def _():
-            b = jax.lax.rem(cur[2] + jnp.int32(1), jnp.int32(NBUF))
+            b = jax.lax.rem(cur[2] + jnp.int32(1), jnp.int32(nbuf))
             _wait_store_hazards(b, wwn)
             for cp in _load_cps(b, wwn):
                 cp.start()
@@ -566,7 +591,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         cp = _nkw_store_cp(a, cur[1])
         cp.start()
         cp.wait()
-        for s in range(NBUF):
+        for s in range(nbuf):
             # pending[a] is provably -1 here (drained when slot a was
             # refilled), so this loop only ever waits the other slots
             @pl.when(cur[4 + s] >= 0)
@@ -577,7 +602,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         # equals its own window by construction), but balance defensively
         @pl.when(cur[3] >= 0)
         def _():
-            b = jax.lax.rem(a + jnp.int32(1), jnp.int32(NBUF))
+            b = jax.lax.rem(a + jnp.int32(1), jnp.int32(nbuf))
             for cp in _load_cps(b, cur[3]):
                 cp.wait()
 
@@ -587,7 +612,7 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
 def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
                         wd_ref, tin_ref, *rest,
                         vspan, dspan, kpad, num_topics, chunks, chunk,
-                        nblocks, u24_operand, collapsed):
+                        nblocks, u24_operand, collapsed, ktiled):
     rest = list(rest)
     ph_ref = None if collapsed else rest.pop(0)
     tril_ref = rest.pop(0)
@@ -600,14 +625,19 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
     ph_buf = None if collapsed else rest.pop(0)
     nkw_buf, sems, cur = rest[:3]
     nk_buf, nk_sem = (rest[3], rest[4]) if collapsed else (None, None)
+    probs_buf = rest[5 if collapsed else 3] if ktiled else None
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i * jnp.int32(_GOLD))
     # in collapsed mode the N_kw read-modify-write window IS the (live)
-    # word table — there is no separate phi stream
+    # word table — there is no separate phi stream. The K-tiled body runs
+    # with TWO buffer slots (active + prefetching): at tiled K the
+    # per-window compute dwarfs the store drain the third slot hides, and
+    # the ~3 MB it frees is what lets kpad=4096 fit VMEM.
     ensure_dw, ensure_ww, active, finalize = stream_windows(
         i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
         nkw_in_ref, nkw_out, nkw_buf,
-        [] if collapsed else [(ph_ref, ph_buf)])
+        [] if collapsed else [(ph_ref, ph_buf)],
+        nbuf=2 if ktiled else NBUF)
 
     if collapsed:
         @pl.when(i == 0)
@@ -626,7 +656,8 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
 
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (vspan, chunk), 0)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (dspan, chunk), 0)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0)
+    iota_k = (None if ktiled else
+              jax.lax.broadcasted_iota(jnp.int32, (kpad, chunk), 0))
     tril = tril_ref[:, :]
 
     for c in range(chunks):
@@ -640,6 +671,100 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
         zold = zo_ref[0, c, :]
         oh_d = (iota_d == drow[None, :]).astype(jnp.float32)
         oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
+
+        if ktiled:
+            # K-TILED chunk body (kpad >= KTILE_MIN): identical sampler
+            # semantics, but every per-chunk temp is bounded at one
+            # 128-row K-tile — probs stage through the [kpad, chunk] bf16
+            # probs_buf scratch instead of living whole-K on the Mosaic
+            # scoped-VMEM stack (whose ~7*kpad*128*4 B growth is what
+            # compile-OOM'd kpad=4096, PERF.md rows 7d/9c). Pass 1
+            # computes + stages each probs tile and accumulates the VPU
+            # grand total and the last-nonzero clamp; pass 2 runs the
+            # per-tile tril inverse-CDF with RUNNING offsets taken from
+            # the tril row-127 totals (self-consistent cdf; the VPU total
+            # only scales u, and any end-overshoot hits the lastnz
+            # clamp); pass 3 applies the one-hot delta updates per tile.
+            iota_kt = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
+            fl = jax.lax.dot(tb_buf[kpad:kpad + FLAG_ROWS, :], oh_d,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            flag = fl[0, :]
+            lastnz = jnp.zeros((chunk,), jnp.int32)
+            total = jnp.zeros((chunk,), jnp.float32)
+            for t in range(kpad // 128):
+                lo = t * 128
+                oh_zot = ((iota_kt + lo) == zold[None, :]).astype(
+                    jnp.float32)
+                corr_t = oh_zot * flag[None, :]
+                nd_t = jax.lax.dot(tb_buf[lo:lo + 128, :], oh_d,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32
+                                   ) - corr_t
+                if collapsed:
+                    sel = jax.lax.dot_general(
+                        nkw_buf[slot, :, lo:lo + 128],
+                        oh_w.astype(jnp.float32),
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    num = sel + beta_ref[0, 0] - corr_t
+                    den = nk_buf[lo:lo + 128, 0:1] - corr_t
+                    probs_t = (nd_t * (num / den)).astype(jnp.bfloat16)
+                else:
+                    ph_t = jax.lax.dot(
+                        ph_buf[slot, lo:lo + 128, :], oh_w,
+                        preferred_element_type=jnp.float32)
+                    probs_t = (nd_t * ph_t).astype(jnp.bfloat16)
+                probs_buf[lo:lo + 128, :] = probs_t
+                m = (probs_t.astype(jnp.float32) > 0).astype(jnp.int32)
+                lastnz = jnp.maximum(
+                    lastnz, jnp.max((iota_kt + lo) * m, axis=0))
+                total = total + jnp.sum(probs_t.astype(jnp.float32),
+                                        axis=0)
+            u = u24s[c].astype(jnp.float32) * jnp.float32(2 ** -24) * total
+            cnt = jnp.zeros((chunk,), jnp.int32)
+            off = jnp.zeros((chunk,), jnp.float32)
+            for t in range(kpad // 128):
+                lo = t * 128
+                tiles_t = jax.lax.dot(tril, probs_buf[lo:lo + 128, :],
+                                      preferred_element_type=jnp.float32)
+                cnt = cnt + jnp.sum(
+                    (tiles_t <= (u - off)[None, :]).astype(jnp.int32),
+                    axis=0)
+                off = off + tiles_t[127, :]
+            zout = jnp.where((flag > 0.5) & (total > 0),
+                             jnp.minimum(cnt, lastnz), zold)
+            z_out[0, c, :] = zout
+            for t in range(kpad // 128):
+                lo = t * 128
+                oh_zt = ((iota_kt + lo) == zout[None, :]).astype(
+                    jnp.float32)
+                oh_zot = ((iota_kt + lo) == zold[None, :]).astype(
+                    jnp.float32)
+                delta_t = (oh_zt - oh_zot).astype(jnp.bfloat16)
+                upd = jax.lax.dot_general(
+                    delta_t, oh_d.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                tb_buf[lo:lo + 128, :] = tb_buf[lo:lo + 128, :] + upd
+                if collapsed:
+                    nkw_buf[slot, :, lo:lo + 128] = (
+                        nkw_buf[slot, :, lo:lo + 128]
+                        + jax.lax.dot_general(
+                            oh_w, delta_t, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                    nk_buf[lo:lo + 128, :] = nk_buf[lo:lo + 128, :] + \
+                        jnp.sum(oh_zt - oh_zot, axis=1, keepdims=True)
+                else:
+                    nkw_buf[slot, :, lo:lo + 128] = (
+                        nkw_buf[slot, :, lo:lo + 128]
+                        + jax.lax.dot_general(
+                            oh_w, oh_zt.astype(jnp.bfloat16),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+            continue
+
         oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
 
         nd_ext = jax.lax.dot(tb_buf[:, :], oh_d,
@@ -712,6 +837,8 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
     """
     nb, chunks, chunk = w3.shape
     kpad = max(128, ((num_topics + 127) // 128) * 128)
+    ktiled = kpad >= KTILE_MIN
+    nbuf = 2 if ktiled else NBUF
     vpad = nwin_w * vspan
     v, k = phi_vk.shape
     assert k == num_topics, \
@@ -788,15 +915,17 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         scratch_shapes=(
             [pltpu.VMEM((kpad + FLAG_ROWS, dspan), jnp.float32)]  # tb_buf
             + ([] if collapsed
-               else [pltpu.VMEM((NBUF, kpad, vspan), jnp.bfloat16)])  # ph
-            + [pltpu.VMEM((NBUF, vspan, kpad), jnp.float32),    # nkw_buf
+               else [pltpu.VMEM((nbuf, kpad, vspan), jnp.bfloat16)])  # ph
+            + [pltpu.VMEM((nbuf, vspan, kpad), jnp.float32),    # nkw_buf
                # per-slot loads: word pairs (0 in collapsed mode) + N_kw
                pltpu.SemaphoreType.DMA(
-                   (2 + NBUF + NBUF * (1 if collapsed else 2),)),
-               pltpu.SMEM((4 + NBUF,), jnp.int32)]              # cur
+                   (2 + nbuf + nbuf * (1 if collapsed else 2),)),
+               pltpu.SMEM((4 + nbuf,), jnp.int32)]              # cur
             + ([pltpu.VMEM((kpad, 128), jnp.float32),           # live n_k
                 pltpu.SemaphoreType.DMA]
-               if collapsed else [])),
+               if collapsed else [])
+            + ([pltpu.VMEM((kpad, chunk), jnp.bfloat16)]        # probs_buf
+               if ktiled else [])),
     )
     # alias indices count ALL operands incl. the scalar-prefetch seed:
     # seed=0, w3=1, d3=2, z_old=3, ww3=4, wwn3=5, wd3=6, table=7, [ph],
@@ -807,7 +936,8 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
         functools.partial(
             _pcgs_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
             num_topics=num_topics, chunks=chunks, chunk=chunk, nblocks=nb,
-            u24_operand=u24 is not None, collapsed=collapsed),
+            u24_operand=u24 is not None, collapsed=collapsed,
+            ktiled=ktiled),
         out_shape=[
             jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
             jax.ShapeDtypeStruct((kpad + FLAG_ROWS, dpad), jnp.float32),

@@ -119,9 +119,14 @@ def test_streamed_vmem_gate():
     assert fused_pcgs_streamed_vmem_bytes(1000, 128, 128, 4096) < \
         fused_pcgs_streamed_vmem_bytes(1000, 512, 128, 4096)
     # collapsed live-count mode needs NO word-table stream (the N_kw rmw
-    # window doubles as the table): cheaper than the bf16 phi stream
-    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
+    # window doubles as the table): cheaper than the bf16 phi stream in
+    # the untiled regime (3 slots); at tiled K (nbuf=2) the saved phi
+    # slots exactly equal the live-n_k scratch it adds, so tie allowed
+    assert fused_pcgs_streamed_vmem_bytes(1000, 128, 128, 4096,
                                           collapsed=True) < \
+        fused_pcgs_streamed_vmem_bytes(1000, 128, 128, 4096)
+    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
+                                          collapsed=True) <= \
         fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096)
     # MH double word table in between
     assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096,
@@ -136,20 +141,29 @@ def test_streamed_vmem_gate():
     assert fused_pcgs_streamed_vmem_bytes(
         1000, v, 128, m.config.token_block) <= fs._STREAMED_VMEM_BUDGET
 
-    # K=4096 PCGS-family streamed configs are gate-OFF (round 3): the
-    # kernels' K-proportional scoped-VMEM compute temps (~7*kpad*128*4 B)
-    # alone exceed the budget at kpad=4096 — calibrated against a
-    # MEASURED compile-time OOM (scoped 26.25M vs the 16M limit; the
-    # round-2 expectation that these fit was never compiled). They fall
-    # back to the XLA sweep (BENCH_MATRIX rows 7d/9c) until the kernels
-    # tile their K-temps.
+    # K=4096 PCGS-family streamed configs are fused-eligible via the
+    # K-TILED chunk body (round 3, second half): the untiled kernels'
+    # K-proportional scoped-VMEM temps (~7*kpad*128*4 B) compile-OOM'd
+    # at kpad=4096 (scoped 26.25M vs the 16M limit), but at
+    # kpad >= KTILE_MIN the kernels stage probs through a [kpad, 128]
+    # bf16 scratch, bound every other temp at one 128-row K-tile, and
+    # run 2 window slots — measured fused on-chip at 3.51M (spalias) /
+    # 2.70M (ADLDA) tokens/s, BENCH_MATRIX rows 7d/8d.
     ma = ADLDA(LDAConfig(scheme="adlda", topics=4096))
-    assert ma._streamed_vspan() == 0
+    assert ma._streamed_vspan() >= 128
+    assert ma._streamed_block() <= 1024  # compile-size cap at tiled K
     mp = LDAPartiallyCollapsedGibbsSampler(
         LDAConfig(scheme="pcgs", topics=4096))
-    assert mp._streamed_vspan() == 0
-    # ... while K=1000 remains fused-eligible for every family
-    assert LDAPartiallyCollapsedGibbsSampler(
-        LDAConfig(scheme="pcgs", topics=1000))._streamed_vspan() >= 128
+    assert mp._streamed_vspan() >= 128
+    # K=1000 remains fused-eligible for every family (untiled body,
+    # full token_block)
+    m1k = LDAPartiallyCollapsedGibbsSampler(
+        LDAConfig(scheme="pcgs", topics=1000))
+    assert m1k._streamed_vspan() >= 128
+    assert m1k._streamed_block() == m1k.config.token_block
     assert ADLDA(
         LDAConfig(scheme="adlda", topics=1000))._streamed_vspan() >= 128
+    # the MH kernel has no tiled body: K=4096 lightpclda stays gate-OFF
+    from ldagroupedgibbssampler_tpu.models.lightlda import LightPCLDA
+    assert LightPCLDA(
+        LDAConfig(scheme="lightpclda", topics=4096))._streamed_vspan() == 0

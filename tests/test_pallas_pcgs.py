@@ -469,19 +469,98 @@ def test_fused_sweep_large_k_distribution():
 def test_streamed_vmem_gate_counts_k_temps():
     """The streamed-sweep gate must include the kernels' K-proportional
     scoped-VMEM compute temps (round-3 fix, calibrated against a
-    measured compile-time OOM at kpad=4096): K=1000 configs stay
-    fused-eligible at some vspan, while kpad=4096 PCGS-family streamed
-    configs exceed the scoped limit at ANY vspan and must fall back to
-    the XLA sweep."""
+    measured compile-time OOM at kpad=4096). At kpad >= KTILE_MIN the
+    K-TILED chunk body replaces them with the staged probs_buf + an
+    O(tile) allowance, so K=4096 PCGS/ADLDA streamed configs now FIT
+    (at the 1024-token block _streamed_block caps them to) instead of
+    falling back to the XLA sweep; the MH kernel's two bf16 word-table
+    slot sets still exceed the budget at K=4096."""
     from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
         fused_pcgs_streamed_vmem_bytes)
     budget = 14 * 2 ** 20
     # K=1000: fits at vspan<=256 (the measured 7c row runs fused)
     assert fused_pcgs_streamed_vmem_bytes(1000, 256, 128, 4096) <= budget
-    # K=4096: the temps alone (~7 * 4096 * 128 * 4 B) exceed the budget
-    # at the minimum vspan — the config that OOM'd at compile time
-    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 4096) > budget
+    # K=4096 PCGS (spalias 7d) and collapsed (ADLDA) fit via the tiled
+    # body at vspan=128, block=1024
+    assert fused_pcgs_streamed_vmem_bytes(4096, 128, 128, 1024) <= budget
+    assert fused_pcgs_streamed_vmem_bytes(
+        4096, 128, 128, 1024, collapsed=True) <= budget
     # MH kernel (2 word tables) at K=1000 must also remain eligible at
     # the minimum vspan (the measured 9_lightpclda_20ng_k1000 row)
     assert fused_pcgs_streamed_vmem_bytes(
         1000, 128, 128, 4096, num_word_tables=2) <= budget
+    # ... but its NBUF x 2 bf16 word slots (~6.3 MB at kpad=4096) keep
+    # K=4096 lightpclda on the XLA fallback (PERF.md row 9c)
+    assert fused_pcgs_streamed_vmem_bytes(
+        4096, 128, 128, 1024, num_word_tables=2) > budget
+
+
+def test_streamed_sweep_ktiled_count_semantics():
+    """The K-TILED streamed chunk body (kpad >= KTILE_MIN: probs staged
+    through the [kpad, 128] bf16 scratch, per-tile table/word selects,
+    running tril offsets, per-tile delta updates) must satisfy the same
+    count semantics as the untiled body — returned N_kw / n_dk equal
+    histograms of the returned z, doc-mask and flag-row preserved."""
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import KTILE_MIN
+    rng = np.random.default_rng(5)
+    c = _rand_corpus(5, docs=150, vocab=400, max_len=40)
+    K, V = KTILE_MIN, c.num_types  # kpad == KTILE_MIN engages the tiling
+    alpha = np.full(K, 0.05, np.float32)
+    z_flat = rng.integers(0, K, c.num_tokens).astype(np.int32)
+    doc_mask = np.ones(c.num_docs, np.float32)
+    doc_mask[::4] = 0.0
+    phi = rng.dirichlet(np.full(V, 0.1), K).T.astype(np.float32)
+    z_out, nkw, table_out = _run_stream_sweep(c, K, z_flat, doc_mask, phi,
+                                              alpha)
+    dall = c.token_doc_ids()
+    unsel = doc_mask[dall] == 0
+    assert (z_out[unsel] == z_flat[unsel]).all()
+    assert (z_out[~unsel] != z_flat[~unsel]).any()
+    ref_nkw = np.zeros((V, K), np.int64)
+    np.add.at(ref_nkw, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref_nkw)
+    ref_ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ref_ndk, (dall, z_out), 1)
+    got = table_out[:K, :c.num_docs].T - alpha[None, :]
+    np.testing.assert_allclose(got, ref_ndk, atol=1e-3)
+    assert np.array_equal(table_out[K, :c.num_docs], doc_mask)
+
+
+def test_streamed_sweep_ktiled_collapsed_and_support():
+    """Tiled body, collapsed (ADLDA live-count) mode: counts conserve and
+    the live N_kw output equals an exact recount of the returned z; with
+    zero-support word columns no draw lands outside the support (the
+    per-tile masked-iota lastnz clamp survives the tiling)."""
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import KTILE_MIN
+    rng = np.random.default_rng(7)
+    c = _rand_corpus(7, docs=120, vocab=300, max_len=30)
+    K, V = KTILE_MIN, c.num_types
+    alpha = np.full(K, 0.05, np.float32)
+    beta = 0.01
+    support = np.zeros(K, bool)
+    support[::5] = True
+    z_flat = rng.choice(np.flatnonzero(support),
+                        c.num_tokens).astype(np.int32)
+    doc_mask = np.ones(c.num_docs, np.float32)
+    nkw0 = np.zeros((V, K), np.float32)
+    np.add.at(nkw0, (c.tokens, z_flat), 1.0)
+    nk = nkw0.sum(axis=0)
+    # zero-support check rides the PCGS (phi) mode: phi columns without
+    # support are exactly zero
+    phi = rng.dirichlet(np.full(V, 0.1), K).T.astype(np.float32)
+    phi[:, ~support] = 0.0
+    z_sup, _, _ = _run_stream_sweep(c, K, z_flat, doc_mask, phi, alpha,
+                                    seed=31)
+    assert support[z_sup].all()
+    assert (z_sup != z_flat).any()
+    # collapsed live-count mode at tiled K
+    z_out, nkw, table_out = _run_stream_sweep(
+        c, K, z_flat, doc_mask, nkw0, alpha, seed=32,
+        nk_plus=(V * beta + nk).astype(np.float32), beta=beta)
+    ref_nkw = np.zeros((V, K), np.int64)
+    np.add.at(ref_nkw, (c.tokens, z_out), 1)
+    assert np.array_equal(nkw[:V].astype(np.int64), ref_nkw)
+    ref_ndk = np.zeros((c.num_docs, K), np.int64)
+    np.add.at(ref_ndk, (c.token_doc_ids(), z_out), 1)
+    got = table_out[:K, :c.num_docs].T - alpha[None, :]
+    np.testing.assert_allclose(got, ref_ndk, atol=1e-3)
