@@ -387,6 +387,27 @@ np.add.at(refdtl, (dall, ztl), 1)
 assert np.allclose(tstl[:Kt, :D].T - 0.05, refdtl, atol=1e-3)
 print(f"4b4. K-tiled collapsed live streamed (K={Kt}): counts ok "
       "after 6 sweeps")
+# chi-square of the tiled inverse-CDF (running tril offsets + VPU grand
+# total) against the exact conditional under the REAL PRNG: single-token
+# docs, expected p = alpha * phi[w0], K=2048 cells pooled into 16
+# equal-index buckets spanning all 16 topic tiles
+Dq = 6000
+cq = Corpus.from_token_lists([[0]] * Dq, ["w0", "w1"])
+alphaq = (rng.gamma(1.0, 1.0, Kt) + 0.05).astype(np.float32)
+phiq = np.stack([np.full(Kt, 0.7, np.float32),
+                 np.full(Kt, 0.3, np.float32)])
+pq = alphaq * phiq[0]
+pq = pq / pq.sum()
+zq, _, _, _ = run_stream(cq, Kt, np.zeros(Dq, np.int32),
+                         np.ones(Dq, np.float32), phiq, alphaq, 47)
+edges_q = np.linspace(0, Kt, 17).astype(int)
+obs_q = np.add.reduceat(np.bincount(zq, minlength=Kt), edges_q[:-1])
+exp_q = np.add.reduceat(pq * Dq, edges_q[:-1])
+chi2_q = float(((obs_q - exp_q) ** 2 / exp_q).sum())
+pval_q = float(sps.chi2.sf(chi2_q, len(exp_q) - 1))
+assert pval_q > 1e-4, (obs_q, exp_q)
+print(f"4b4. K-tiled chi-square vs exact conditional: ok "
+      f"(chi2={chi2_q:.1f}, p={pval_q:.3f})")
 
 # ---- 4c. streamed MH (lightpclda above the VMEM budget) ------------------
 from ldagroupedgibbssampler_tpu.models import fused_sweep as _fs

@@ -526,6 +526,35 @@ def test_streamed_sweep_ktiled_count_semantics():
     assert np.array_equal(table_out[K, :c.num_docs], doc_mask)
 
 
+def test_streamed_sweep_ktiled_draw_distribution():
+    """Chi-square of the K-TILED body's draws against the exact PCGS
+    conditional at K = KTILE_MIN: the tiled inverse-CDF runs with
+    RUNNING offsets accumulated from the tril row-127 totals and a
+    separately-computed VPU grand total scaling u — a subtly wrong
+    offset bookkeeping would shift mass between tile boundaries while
+    still conserving counts, so count tests alone cannot catch it."""
+    from scipy import stats as sps
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import KTILE_MIN
+    rng = np.random.default_rng(23)
+    D, K = 6000, KTILE_MIN
+    c = Corpus.from_token_lists([[0]] * D, ["w0", "w1"])
+    alpha = (rng.gamma(1.0, 1.0, K) + 0.05).astype(np.float32)
+    phi = np.stack([np.full(K, 0.7, np.float32),
+                    np.full(K, 0.3, np.float32)])  # [V=2, K]
+    p = alpha * phi[0]
+    p = p / p.sum()
+    z_out, _, _ = _run_stream_sweep(c, K, np.zeros(D, np.int32),
+                                    np.ones(D, np.float32), phi, alpha,
+                                    seed=41)
+    # pool the K=2048 cells into 16 equal-index buckets spanning all
+    # topic tiles (expected counts ~375 per bucket)
+    edges = np.linspace(0, K, 17).astype(int)
+    obs = np.add.reduceat(np.bincount(z_out, minlength=K), edges[:-1])
+    exp = np.add.reduceat(p * D, edges[:-1])
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert sps.chi2.sf(chi2, len(exp) - 1) > 1e-4, (obs, exp)
+
+
 def test_streamed_sweep_ktiled_collapsed_and_support():
     """Tiled body, collapsed (ADLDA live-count) mode: counts conserve and
     the live N_kw output equals an exact recount of the returned z; with
