@@ -685,6 +685,10 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
             # the tril row-127 totals (self-consistent cdf; the VPU total
             # only scales u, and any end-overshoot hits the lastnz
             # clamp); pass 3 applies the one-hot delta updates per tile.
+            # Staging the global cdf in pass 1 instead (compare-only
+            # pass 2, half the tril passes) measured SLOWER — 3.51→2.56M
+            # at K=4096 — because the tril dot then serializes behind the
+            # select chain it consumes; see PERF.md. Keep this form.
             iota_kt = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
             fl = jax.lax.dot(tb_buf[kpad:kpad + FLAG_ROWS, :], oh_d,
                              precision=jax.lax.Precision.HIGHEST,
