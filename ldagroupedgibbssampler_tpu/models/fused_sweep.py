@@ -60,13 +60,17 @@ class FusedPCGSSweepMixin:
 
     def _streamed_block(self) -> int:
         """Token block for the STREAMED layout. When the K-tiled chunk
-        body engages (kpad >= KTILE_MIN) the kernel unrolls
+        body engages (kpad >= KTILE_MIN, PCGS/ADLDA kernels only — the MH
+        kernel is untiled at all K, mirroring the tiled predicate in
+        fused_pcgs_streamed_vmem_bytes) the kernel unrolls
         chunks-per-block x K-tiles tile bodies, so the block is capped at
         1024 tokens (8 chunks x 32 tiles at kpad=4096 ~= the measured
         K=1000 program size) to bound Mosaic compile time; the extra grid
         steps are noise against the large-K per-chunk compute."""
         blk = self.config.token_block
-        return min(blk, 1024) if self._kpad() >= KTILE_MIN else blk
+        tiled = (self._kpad() >= KTILE_MIN
+                 and self._streamed_word_tables == 1)
+        return min(blk, 1024) if tiled else blk
 
     def _streamed_vspan(self) -> int:
         """Largest vspan (config value halved down to 128) whose streamed

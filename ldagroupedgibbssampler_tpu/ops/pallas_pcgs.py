@@ -382,10 +382,18 @@ def fused_pcgs_vmem_bytes(num_docs, num_topics, dspan, collapsed=False,
     if collapsed:
         table += max(128, vspan) * kpad * 4 + kpad * 128 * 4
     # the RESIDENT kernel keeps the UNTILED chunk body at every K, so its
-    # per-chunk scoped-VMEM temps (~7 * kpad * 128 * 4, see the streamed
-    # gate) count against the budget too: a tiny-corpus K >= 2048 config
-    # whose table alone fits must still fail over to the K-tiled STREAMED
-    # kernel rather than compile-OOM here.
+    # per-chunk scoped-VMEM temps count against the budget too: a
+    # tiny-corpus K >= 2048 config whose table alone fits must still fail
+    # over to the K-tiled STREAMED kernel rather than compile-OOM here.
+    # The 7*kpad*128*4 constant is the STREAMED kernel's measured
+    # calibration (compile-OOM at kpad=4096, round 3) reused as a
+    # CONSERVATIVE bound — the resident chunk body has the same shape of
+    # [kpad, 128] temps (selects/probs/cdt/masks) minus the window
+    # machinery, so its true footprint is <= the streamed one. The
+    # measured resident rows (K<=1000 on the bench corpus) sit far from
+    # the budget either way; tests/test_fused_integration.py pins the
+    # resident/streamed decision for those rows so a recalibration that
+    # silently flips them is caught.
     return table + 7 * kpad * 128 * 4
 
 
@@ -472,10 +480,12 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
     read-write n_dk table slice (stored back on d-window change and at
     the end, synchronously — those switches are rare); nkw_buf
     [NBUF, vspan, kpad] the HBM read-modify-write N_kw accumulator
-    window; word_pairs a list of (hbm_ref, vmem_buf[NBUF, kpad*, vspan])
+    window; word_pairs a list of (hbm_ref, vmem_buf[nbuf, kpad*, vspan])
     read-only word tables keyed by the w-window. Semaphores: 0 tb store,
-    1 tb load, 2+s N_kw store of slot s, 2 + NBUF + s*(P+1) + j load of
-    pair j (j=P: N_kw) into slot s.
+    1 tb load, 2+s N_kw store of slot s, 2 + nbuf + s*(P+1) + j load of
+    pair j (j=P: N_kw) into slot s — the base uses the *runtime* nbuf
+    (2 for the K-tiled body, NBUF=3 otherwise), matching the
+    (2 + nbuf + nbuf*(P+1),) allocation at the call site.
     Returns (ensure_dw(wd), ensure_ww(wwc, wwn), active(), finalize()).
     Every started copy is waited exactly once: loads at the consuming
     switch, stores before a slot refill (same slot, or same WINDOW on
@@ -520,11 +530,11 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
     def _load_cps(slot, ww_t):
         cps = [pltpu.make_async_copy(
                    ref.at[:, pl.ds(ww_t * vspan, vspan)], buf.at[slot],
-                   sems.at[2 + NBUF + slot * (P + 1) + j])
+                   sems.at[2 + nbuf + slot * (P + 1) + j])
                for j, (ref, buf) in enumerate(word_pairs)]
         cps.append(pltpu.make_async_copy(
             nkw_in_ref.at[pl.ds(ww_t * vspan, vspan), :],
-            nkw_buf.at[slot], sems.at[2 + NBUF + slot * (P + 1) + P]))
+            nkw_buf.at[slot], sems.at[2 + nbuf + slot * (P + 1) + P]))
         return cps
 
     def _wait_store_hazards(slot, ww_t):

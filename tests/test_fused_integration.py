@@ -167,3 +167,32 @@ def test_streamed_vmem_gate():
     from ldagroupedgibbssampler_tpu.models.lightlda import LightPCLDA
     assert LightPCLDA(
         LDAConfig(scheme="lightpclda", topics=4096))._streamed_vspan() == 0
+    # ... and keeps the full token block at large K (the 1024 cap exists
+    # only for the K-tiled PCGS/ADLDA bodies; ADVICE round-3 item 3)
+    mmh = LightPCLDA(LDAConfig(scheme="lightpclda", topics=4096))
+    assert mmh._streamed_block() == mmh.config.token_block
+
+
+def test_resident_streamed_decision_pinned():
+    """Regression pin of the resident/streamed gate decision for the
+    measured BENCH_MATRIX rows (ADVICE round-3 item 2): the resident
+    gate reuses the streamed kernels' 7*kpad*128*4 temp calibration as a
+    conservative bound, and this test catches any recalibration that
+    silently flips a measured-resident config to the streamed path (a
+    semantically equivalent but perf-relevant change)."""
+    from ldagroupedgibbssampler_tpu.models import fused_sweep as fs
+    from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
+        fused_pcgs_vmem_bytes)
+
+    bench_docs = 11269  # the 20NG-scale bench corpus (bench.py)
+    # K=100 rows (2/6/8/...) were measured on the RESIDENT path
+    assert fused_pcgs_vmem_bytes(bench_docs, 100, 128) \
+        <= fs._FUSED_PCGS_VMEM_BUDGET
+    assert fused_pcgs_vmem_bytes(bench_docs, 100, 128, collapsed=True) \
+        <= fs._FUSED_PCGS_VMEM_BUDGET
+    # K=1000 rows (5/7/...) were measured on the STREAMED path
+    assert fused_pcgs_vmem_bytes(bench_docs, 1000, 128) \
+        > fs._FUSED_PCGS_VMEM_BUDGET
+    # the tiny test corpora used by the interpret-mode suites stay
+    # resident (table + temps far under budget)
+    assert fused_pcgs_vmem_bytes(30, 6, 128) <= fs._FUSED_PCGS_VMEM_BUDGET
