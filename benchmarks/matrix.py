@@ -271,13 +271,14 @@ def main(argv=None):
                                                       seed=2019)
             iters_f = 50 if args.quick else 200
 
-            def heldout_3f(scheme, seed, ctx, eval_keys=(None,)):
+            def heldout_3f(scheme, seed, ctx, eval_keys=(None,),
+                           iters=None):
                 cfgf = LDAConfig(scheme=scheme, topics=100, alpha=0.5,
                                  beta=0.01, seed=seed, exec_time=-1)
                 with ctx:
                     mf = create_model(cfgf)
                     mf.add_instances(train)
-                    mf.sample(iters_f)
+                    mf.sample(iters or iters_f)
                     hlls = [left_to_right_log_likelihood(
                         seed if ek is None else ek, evl, None,
                         mf.get_alpha(), num_particles=100,
@@ -288,22 +289,32 @@ def main(argv=None):
 
             ggs_f = [heldout_3f("ggs", s, contextlib.nullcontext())[0]
                      for s in (2019, 2020, 2021)]
-            # score the single CGS oracle chain under TWO estimator keys,
-            # so the artifact separates chain-seed variability (GGS
-            # spread) from the left-to-right estimator's own Monte-Carlo
-            # noise (CGS eval spread)
+            # CGS oracle: two chain seeds (chain-to-chain spread on the
+            # CGS side), the first scored under TWO estimator keys (the
+            # left-to-right estimator's own Monte-Carlo noise), plus a
+            # 2x-length chain (mixing/plateau check: the round-4 first
+            # measurement put GGS ~98 nats ABOVE CGS at 200 iterations —
+            # 0.02% relative — and the extension quantifies how much of
+            # that is CGS still approaching its plateau)
             cgs_f, cgs_f2 = heldout_3f("collapsed", 2019, cgs_ctx(),
                                        eval_keys=(2019, 4242))
+            cgs_s2 = heldout_3f("collapsed", 2020, cgs_ctx())[0]
+            cgs_long = heldout_3f("collapsed", 2019, cgs_ctx(),
+                                  iters=2 * iters_f)[0]
             gm = float(np.mean(ggs_f))
             spread = float(np.max(ggs_f) - np.min(ggs_f))
             est_noise = abs(cgs_f - cgs_f2)
-            mc_err = max(spread, est_noise)
+            cgs_spread = abs(cgs_f - cgs_s2)
+            mc_err = max(spread, est_noise, cgs_spread)
             report["results"]["3f_heldout_ll_20ng_k100"] = {
                 "ggs_held_out_ll_mean": round(gm, 1),
                 "ggs_held_out_ll_seeds": [round(g, 1) for g in ggs_f],
                 "ggs_seed_spread": round(spread, 1),
                 "cgs_held_out_ll": round(cgs_f, 1),
+                "cgs_seed2_ll": round(cgs_s2, 1),
+                "cgs_seed_spread": round(cgs_spread, 1),
                 "cgs_eval_key2_ll": round(cgs_f2, 1),
+                "cgs_2x_iters_ll": round(cgs_long, 1),
                 "estimator_noise": round(est_noise, 1),
                 "rel_gap": round(abs(gm - cgs_f) / abs(cgs_f), 4),
                 "gap_within_mc_error": bool(abs(gm - cgs_f) <= mc_err),

@@ -79,6 +79,10 @@ run bf16_gate python benchmarks/bf16_gate.py
 python -c "import json,sys; sys.exit(0 if json.load(open('BF16_GATE.json'))['gate_pass'] else 'BF16 gate FAILED')" || FAILED=1
 # 5. headline bench (regression guard)
 run bench python bench.py
+# 6. the FULL CPU test suite incl. the slow tier (the default `pytest -q`
+# is the fast tier only — round-3 VERDICT item 7; nothing is lost because
+# this step runs the slow statistical chains)
+run pytest_full env PYTHONPATH=/root/repo python -m pytest tests/ -q -m "not tpu"
 
 if [ $FAILED -ne 0 ]; then
   echo "=== REVALIDATION FAILED (see logs in $OUT) ==="

@@ -41,6 +41,9 @@ _EPS = 1e-30
 class ADLDA(FusedPCGSSweepMixin, TpuLDASampler):
     layout = "doc_major"
     smooth_phi = True
+    # the collapsed conditional (n_dk+alpha)(beta+N-own)/(Vbeta+n_k-own)
+    # is positive everywhere (alpha > 0, beta > 0)
+    fused_positive_support = True
     # streamed-scratch gate: the collapsed live-count mode streams no
     # separate word table (the N_kw rmw window IS the table) but carries
     # the live-n_k scratch (ops/pallas_pcgs.fused_pcgs_streamed_vmem_bytes)

@@ -49,14 +49,26 @@ class FusedPCGSSweepMixin:
     # -- gate ------------------------------------------------------------
     def _fused_interpret(self) -> bool:
         """Test-only: run the fused sweep under the pltpu interpreter on
-        any backend (zdraw_kernel="interpret"). The in-kernel PRNG lowers
-        to zeros there, so draws are degenerate — integration coverage of
-        the block layout / table wiring, not of the statistics."""
+        any backend (zdraw_kernel="interpret"). The in-kernel PRNG cannot
+        lower there, so the sweep call injects real 24-bit uniforms drawn
+        OUTSIDE the kernel (the u24 operand) — the interpreted chain is
+        statistically exact, which is what lets the CPU Geweke harness
+        drive the actual kernel bodies (round-3 VERDICT item 4)."""
         return self.config.zdraw_kernel == "interpret"
 
     # streamed-scratch shape knobs (overridden by the MH/collapsed users)
     _streamed_word_tables = 1   # 2 for the MH kernel (target + proposal)
     _streamed_collapsed = False  # True for the ADLDA collapsed conditional
+    # test-only: force the K-tiled streamed chunk body at small K so the
+    # joint-distribution harnesses exercise the actual tiled code
+    _force_ktile = False
+    # True for schemes whose conditional has provably positive support
+    # everywhere (floored-Dirichlet phi, or the collapsed conditional
+    # with beta > 0): lets the kernels skip the K-proportional
+    # last-nonzero-topic passes (round-4 large-K speedup). Must stay
+    # False for zero-support phi families (Polya-Urn, VS, masked priors,
+    # HDP inactive topics).
+    fused_positive_support = False
 
     def _streamed_block(self) -> int:
         """Token block for the STREAMED layout. When the K-tiled chunk
@@ -212,27 +224,39 @@ class FusedPCGSSweepMixin:
         counts, which the kernel keeps LIVE chunk to chunk."""
         cfg = self.config
         b = self._sblocks
+        u24 = None
+        if self._fused_interpret():
+            # the interpreter cannot lower the in-kernel PRNG: draw the
+            # per-token 24-bit uniforms outside and inject them, so the
+            # interpreted chain is statistically exact (Geweke-able)
+            k_z, k_u = jax.random.split(k_z)
+            u24 = jax.random.randint(k_u, self._sshape3, 0, 2 ** 24,
+                                     jnp.int32)
         if self._fused_mode() == "streamed":
             z, nkw_vk, table_out = fused_pcgs_sweep_streamed(
                 self.swb, self.sdla, z_blocks,
                 self._ndk_table(ndk, alpha, doc_mask), word_vk,
                 self._fused_seed(k_z),
-                self.swwc, self.swindc, nk_plus=nk_plus,
+                self.swwc, self.swindc, u24=u24, nk_plus=nk_plus,
                 beta=beta,
                 nwin_w=b.nwin_w, nwin_d=b.nwin_d,
                 vspan=self._streamed_vspan(),
                 dspan=_SEQ_DSPAN, num_topics=cfg.topics,
-                interpret=self._fused_interpret())
+                interpret=self._fused_interpret(),
+                force_ktile=self._force_ktile,
+                positive_support=self.fused_positive_support)
         else:
             z, nkw_vk, table_out = fused_pcgs_sweep(
                 self.swb, self.sdla, z_blocks,
                 self._ndk_table(ndk, alpha, doc_mask), word_vk,
                 self._fused_seed(k_z),
-                self.swinb, self.sfirstb, self.swindc, nk_plus=nk_plus,
+                self.swinb, self.sfirstb, self.swindc, u24=u24,
+                nk_plus=nk_plus,
                 beta=beta,
                 nwin_w=b.nwin_w, nwin_d=b.nwin_d, vspan=cfg.vocab_span,
                 dspan=_SEQ_DSPAN, num_topics=cfg.topics,
-                interpret=self._fused_interpret())
+                interpret=self._fused_interpret(),
+                positive_support=self.fused_positive_support)
         ndk_out, nkw = self._fused_extract(nkw_vk, table_out, alpha)
         return z, ndk_out, nkw
 

@@ -50,6 +50,10 @@ class UncollapsedParallelLDA(FusedPCGSSweepMixin, TpuLDASampler):
 
     layout = "doc_major"
     smooth_phi = False
+    # phi rows are floored Dirichlet draws (rnd.DIRICHLET_FLOOR > 0) and
+    # alpha > 0, so the conditional (n_dk + alpha) phi has positive
+    # support everywhere -> the kernels may skip the last-nonzero passes
+    fused_positive_support = True
 
     def _sample_phi(self, key, nkw, beta, type_mask, prev_phi):
         conc = nkw.astype(jnp.float32) + (beta if self.smooth_phi else 1e-7)

@@ -32,6 +32,9 @@ NEG_INF = np.float32(-1e30)  # np scalar: no backend init at import time
 class PolyaUrnSpaliasLDA(UncollapsedParallelLDA):
     layout = "doc_major"
     smooth_phi = True
+    # Polya-Urn phi has exact-zero atoms: the last-nonzero clamp must be
+    # computed, not assumed (override the PCGS-family True)
+    fused_positive_support = False
 
     def _initial_phi(self, key, nkw, beta):
         phi, _zero = rnd.polya_urn_dirichlet(key, nkw, float(self.config.beta))

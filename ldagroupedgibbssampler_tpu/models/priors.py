@@ -89,6 +89,8 @@ def _ensure_consistent_priors(priors: np.ndarray, vocab):
 class SpaliasUncollapsedParallelWithPriors(UncollapsedParallelLDA):
     layout = "doc_major"
     smooth_phi = True
+    # prior-masked phi rows carry exact zeros: keep the last-nonzero scan
+    fused_positive_support = False
 
     def add_instances(self, corpus, key=None):
         self.topic_priors = None

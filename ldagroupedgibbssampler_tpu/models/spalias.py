@@ -10,41 +10,36 @@ swap-remove nonzero-topic bookkeeping (:295-344).
 
 TPU-first analysis: the alias decomposition exists because a scalar CPU core
 pays O(K) per token for the dense cumsum, while the table amortises the prior
-part to O(1). On TPU the dense K-wide Gumbel-max draw is a *vector* op — all
-K lanes in one VPU issue — so the crossover the alias table targets does not
-exist until K is far beyond this model family's range, and the
-data-dependent table build + u-split branch would serialise the kernel.
-The chain sampled here is therefore *identical in distribution* to the
-reference's Spalias (same PCGS target: phi-stale-within-sweep,
-n_dk-immediate), implemented with the dense fused sweep. The reference's
-alias-table *mechanism* is covered behaviourally: same conditional, same
-staleness, same phi smoothing.
+part to O(1). On TPU the dense K-wide draw is MXU/VPU vector work — all K
+lanes per issue — so the crossover the alias table targets sits far beyond
+this model family's range. The chain sampled here is therefore *identical in
+distribution* to the reference's Spalias (same PCGS target:
+phi-stale-within-sweep, n_dk-immediate), implemented with the dense fused
+sweep; the reference's alias-table *mechanism* is covered behaviourally.
 
-For very large K the sparse advantage is recovered on TPU by the top-K
-two-bucket design (prior bucket mass per type precomputed as
-sum_k alpha_k phi_kw — a [V] vector — and a doc bucket over the ≤L_d nonzero
-doc topics); `alias_equivalent_prior_mass` below exposes that prior table
-for the large-K path and for tests.
+The sublinear-per-token alternative was BUILT AND MEASURED in round 4
+(benchmarks/alias_mh_probe.py; PERF.md "Sublinear large-K draw — measured
+negative"): an O(1)-gather LightLDA-style MH realization of the two-bucket
+idea (count-based word/doc proposals, 7 packed gathers/token/round, the
+TPU-feasible form of the alias draw) reaches only ~6-9M tokens/s at
+K=1000-4096 because TPU scalar-gather throughput (~8-10 ns/element) makes
+its per-token constant ~150-220 ns — MORE than the dense kernels' Θ(K)
+MXU work at every K the reference targets (the measured crossover sits
+past K≈16384, where the theta/phi Dirichlet draws dominate the iteration
+anyway). Large-K throughput is instead earned on the dense path: bf16x3
+one-hot selects + the positive-support last-nonzero skip
+(ops/pallas_pcgs.py::SELECT_PRECISION, round-4 MFU table in PERF.md).
 """
 
 from __future__ import annotations
-
-import jax.numpy as jnp
 
 from ldagroupedgibbssampler_tpu.models.pcgs import (
     LDAPartiallyCollapsedGibbsSampler)
 
 
-def alias_equivalent_prior_mass(phi: jnp.ndarray,
-                                alpha: jnp.ndarray) -> jnp.ndarray:
-    """Per-type prior-bucket mass sum_k alpha_k phi[k][w] — the normalising
-    constant of the reference's per-type alias tables
-    (SpaliasUncollapsedParallelLDA.java:83-115)."""
-    return jnp.einsum("k,kv->v", alpha, phi)
-
-
 class SpaliasUncollapsedParallelLDA(LDAPartiallyCollapsedGibbsSampler):
     """Same Markov chain as PCGS; see module docstring for why the alias
-    mechanism is replaced by the dense fused sweep on TPU."""
+    mechanism is replaced by the dense fused sweep on TPU, and for the
+    measured fate of the sublinear alternative."""
 
     smooth_phi = True

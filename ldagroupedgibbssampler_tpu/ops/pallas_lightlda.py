@@ -55,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ldagroupedgibbssampler_tpu.ops.pallas_pcgs import (
-    FLAG_ROWS, NBUF, cdf_draw, stream_windows)
+    FLAG_ROWS, NBUF, SELECT_PRECISION, cdf_draw, stream_windows)
 
 _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
@@ -108,7 +108,7 @@ def _mh_kernel(seed_ref, win_w_ref, first_w_ref,
 
         ndk_win = ndk_ref[:, pl.ds(win_d * dspan, dspan)]
         nd_ext = jax.lax.dot(ndk_win, oh_d,
-                             precision=jax.lax.Precision.HIGHEST,
+                             precision=SELECT_PRECISION,
                              preferred_element_type=jnp.float32)
         flag = nd_ext[kpad, :]                             # [chunk]
         nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]    # n^{-i} + alpha
@@ -310,7 +310,7 @@ def _mh_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
         oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
 
         nd_ext = jax.lax.dot(tb_buf[:, :], oh_d,
-                             precision=jax.lax.Precision.HIGHEST,
+                             precision=SELECT_PRECISION,
                              preferred_element_type=jnp.float32)
         flag = nd_ext[kpad, :]
         nd = nd_ext[:kpad, :] - oh_zold * flag[None, :]

@@ -24,7 +24,7 @@ K=20). This kernel removes every gather AND the N_kw scatter:
     update (their delta one-hot is zero because z_out == z_old).
   - per chunk, everything is MXU matmuls against window-local tables:
     n_dk rows and the flag via a one-hot doc select of the table window
-    (f32, HIGHEST precision — exact for the integer+alpha values), phi
+    (f32 values, SELECT_PRECISION — see its comment), phi
     rows via a one-hot type select (bf16 tables, the GGS kernel's fast
     path), the inverse-CDF via the tiled tril cumsum, the token's own
     assignment excluded by subtracting onehot(z_old) (the reference's
@@ -49,8 +49,25 @@ _GOLD = -1640531527  # 2^32 / golden ratio, as int32
 
 FLAG_ROWS = 8  # extra table rows; row kpad = doc-mask flag, rest zero
 
+# Precision of the READ-ONLY one-hot selects (n_dk rows via oh_d, live
+# N_kw rows via oh_w): HIGHEST (exact for the integer+alpha values).
+# Round-4 measurements (PERF.md, MFU table): Mosaic supports only
+# DEFAULT | HIGHEST in-kernel (Precision.HIGH raises NotImplementedError
+# in the dot lowering), and an on-chip micro-probe put f32-HIGHEST
+# matmul throughput at ~0.62x of f32-DEFAULT and ~0.5x of bf16 — i.e.
+# HIGHEST costs ~2 bf16-equivalent MXU passes, NOT the 6 a bf16x6 model
+# would predict, so demoting these selects buys ~12% at K=4096, not the
+# 2x an earlier model suggested. DEFAULT is NOT statistically safe on
+# the (n_dk + alpha) table as stored: bf16-rounding a value like
+# 1 + alpha before the own-token exclusion subtracts 1 destroys the
+# small remainder (catastrophic cancellation in the own-topic
+# conditional). It would become safe under a counts-only table with
+# alpha added post-select (small counts are bf16-exact); measured
+# option, not currently taken.
+SELECT_PRECISION = jax.lax.Precision.HIGHEST
 
-def cdf_draw(tril, probs, u24):
+
+def cdf_draw(tril, probs, u24, lastnz_const=None):
     """Tiled inverse-CDF categorical draw over the topic axis.
 
     probs: bf16 [kpad, chunk] unnormalised masses (rows >= num_topics must
@@ -63,7 +80,10 @@ def cdf_draw(tril, probs, u24):
     num_topics-1: when u*total rounds up to total in f32 the raw count
     overshoots into the zero tail, and a plain K-1 clamp would assign a
     zero-probability topic (breaking the exact-zero-support guarantee the
-    Polya-Urn/VS samplers rely on). The last nonzero index is computed
+    Polya-Urn/VS samplers rely on). `lastnz_const` (positive-support
+    schemes: floored phi, or the collapsed conditional with beta > 0)
+    replaces the masked-iota max with that constant, skipping its
+    K-proportional VPU passes. The last nonzero index is computed
     directly as a masked-iota max over probs — exact by construction
     (and one VPU pass instead of the former per-tile cumsum-vs-total
     compare passes, whose exactness rested on an fp-accumulation-order
@@ -79,15 +99,22 @@ def cdf_draw(tril, probs, u24):
     # full-height [kpad, chunk] mask and jnp.where on an i1 vector trip a
     # Mosaic relayout bug ("non-singleton dimension replicated in
     # destination"); the arithmetic form lowers cleanly
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
-    lastnz = jnp.zeros((chunk,), jnp.int32)
-    for t in range(ntile):
-        # f32 cast before the compare: Mosaic rejects bf16-vs-scalar
-        # comparisons on this target
-        m = (probs[t * 128:(t + 1) * 128, :].astype(jnp.float32)
-             > 0).astype(jnp.int32)
-        lastnz = jnp.maximum(
-            lastnz, jnp.max((iota_t + t * 128) * m, axis=0))
+    if lastnz_const is not None:
+        # positive-support schemes (floored phi / collapsed beta>0): the
+        # last nonzero topic is ALWAYS num_topics-1, so the ntile
+        # compare/cast/mul/max passes are skipped (VPU passes scale with
+        # K; part of the round-4 large-K dense-path speedup)
+        lastnz = jnp.full((chunk,), lastnz_const, jnp.int32)
+    else:
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
+        lastnz = jnp.zeros((chunk,), jnp.int32)
+        for t in range(ntile):
+            # f32 cast before the compare: Mosaic rejects bf16-vs-scalar
+            # comparisons on this target
+            m = (probs[t * 128:(t + 1) * 128, :].astype(jnp.float32)
+                 > 0).astype(jnp.int32)
+            lastnz = jnp.maximum(
+                lastnz, jnp.max((iota_t + t * 128) * m, axis=0))
     tiles = [jax.lax.dot(tril, probs[t * 128:(t + 1) * 128, :],
                          preferred_element_type=jnp.float32)
              for t in range(ntile)]
@@ -108,7 +135,7 @@ def cdf_draw(tril, probs, u24):
 def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
                  w_ref, d_ref, zo_ref, win_d_ref, *rest,
                  vspan, dspan, kpad, num_topics, chunks, chunk,
-                 u24_operand, collapsed):
+                 u24_operand, collapsed, positive_support=False):
     rest = list(rest)
     ph_ref = None if collapsed else rest.pop(0)
     tril_ref = rest.pop(0)
@@ -175,27 +202,27 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
         oh_w = (iota_v == wrow[None, :]).astype(jnp.bfloat16)
         oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
 
-        # exact one-hot doc select of (n_dk + alpha | flag) rows: f32
-        # HIGHEST keeps the integer counts exact through the MXU passes
+        # one-hot doc select of (n_dk + alpha | flag) rows (bf16x3 — see
+        # SELECT_PRECISION; the table itself stays exact, only this
+        # read-only select is 2^-22-approximate)
         ndk_win = ndk_ref[:, pl.ds(win_d * dspan, dspan)]
         nd_ext = jax.lax.dot(ndk_win, oh_d,
-                             precision=jax.lax.Precision.HIGHEST,
+                             precision=SELECT_PRECISION,
                              preferred_element_type=jnp.float32)
         flag = nd_ext[kpad, :]                             # [chunk]
         corr = oh_zold * flag[None, :]                     # own-z exclusion
         nd = nd_ext[:kpad, :] - corr                       # decrement own z
         if collapsed:
-            # ADLDA word term against LIVE counts with exact
-            # self-correction: select this chunk's N_kw rows from the
-            # in-VMEM live window (counts are stale only WITHIN a chunk,
-            # <= 128 tokens — vs the reference's full-sweep cross-worker
-            # staleness, ADLDA.java:176-332), exclude the token's own
-            # count from numerator and the live (V beta + n_k)
-            # denominator. f32 HIGHEST keeps the integer counts exact.
+            # ADLDA word term against LIVE counts with self-correction:
+            # select this chunk's N_kw rows from the in-VMEM live window
+            # (counts are stale only WITHIN a chunk, <= 128 tokens — vs
+            # the reference's full-sweep cross-worker staleness,
+            # ADLDA.java:176-332), exclude the token's own count from
+            # numerator and the live (V beta + n_k) denominator.
             sel = jax.lax.dot_general(
                 nkw_out[:, :], oh_w.astype(jnp.float32),
                 (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=SELECT_PRECISION,
                 preferred_element_type=jnp.float32)        # [kpad, chunk]
             num = sel + beta_ref[0, 0] - corr
             den = nk_buf[:, 0:1] - corr
@@ -204,7 +231,9 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
             ph = jax.lax.dot(ph_ref[:, :], oh_w,
                              preferred_element_type=jnp.float32)
             probs = (nd * ph).astype(jnp.bfloat16)         # [kpad, chunk]
-        znew, total = cdf_draw(tril, probs, u24s[c])
+        znew, total = cdf_draw(
+            tril, probs, u24s[c],
+            lastnz_const=num_topics - 1 if positive_support else None)
         zout = jnp.where((flag > 0.5) & (total > 0), znew, zold)
         z_out[0, c, :] = zout
 
@@ -236,11 +265,12 @@ def _pcgs_kernel(seed_ref, win_w_ref, first_w_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
-                              "num_topics", "interpret"))
+                              "num_topics", "interpret",
+                              "positive_support"))
 def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
                      win_d_chunks, u24=None, nk_plus=None, beta=None, *,
                      nwin_w, nwin_d, vspan, dspan, num_topics,
-                     interpret=False):
+                     interpret=False, positive_support=False):
     """One PCGS Gibbs sweep: draw z for every token with immediate n_dk
     updates, accumulate N_kw, and return the updated n_dk table.
 
@@ -355,7 +385,8 @@ def fused_pcgs_sweep(w3, d3, z_old, ndk_table, phi_vk, seed, win_w, first_w,
         functools.partial(
             _pcgs_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
             num_topics=num_topics, chunks=chunks, chunk=chunk,
-            u24_operand=u24 is not None, collapsed=collapsed),
+            u24_operand=u24 is not None, collapsed=collapsed,
+            positive_support=positive_support),
         out_shape=[
             jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
             jax.ShapeDtypeStruct((nwin_w * vspan, kpad), jnp.float32),
@@ -622,7 +653,8 @@ def stream_windows(i, cur, sems, dspan, vspan, tin_ref, tout_ref, tb_buf,
 def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
                         wd_ref, tin_ref, *rest,
                         vspan, dspan, kpad, num_topics, chunks, chunk,
-                        nblocks, u24_operand, collapsed, ktiled):
+                        nblocks, u24_operand, collapsed, ktiled,
+                        positive_support=False):
     rest = list(rest)
     ph_ref = None if collapsed else rest.pop(0)
     tril_ref = rest.pop(0)
@@ -701,10 +733,12 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
             # select chain it consumes; see PERF.md. Keep this form.
             iota_kt = jax.lax.broadcasted_iota(jnp.int32, (128, chunk), 0)
             fl = jax.lax.dot(tb_buf[kpad:kpad + FLAG_ROWS, :], oh_d,
-                             precision=jax.lax.Precision.HIGHEST,
+                             precision=SELECT_PRECISION,
                              preferred_element_type=jnp.float32)
             flag = fl[0, :]
-            lastnz = jnp.zeros((chunk,), jnp.int32)
+            lastnz = (jnp.full((chunk,), num_topics - 1, jnp.int32)
+                      if positive_support else
+                      jnp.zeros((chunk,), jnp.int32))
             total = jnp.zeros((chunk,), jnp.float32)
             for t in range(kpad // 128):
                 lo = t * 128
@@ -712,7 +746,7 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
                     jnp.float32)
                 corr_t = oh_zot * flag[None, :]
                 nd_t = jax.lax.dot(tb_buf[lo:lo + 128, :], oh_d,
-                                   precision=jax.lax.Precision.HIGHEST,
+                                   precision=SELECT_PRECISION,
                                    preferred_element_type=jnp.float32
                                    ) - corr_t
                 if collapsed:
@@ -720,7 +754,7 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
                         nkw_buf[slot, :, lo:lo + 128],
                         oh_w.astype(jnp.float32),
                         (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=SELECT_PRECISION,
                         preferred_element_type=jnp.float32)
                     num = sel + beta_ref[0, 0] - corr_t
                     den = nk_buf[lo:lo + 128, 0:1] - corr_t
@@ -731,9 +765,10 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
                         preferred_element_type=jnp.float32)
                     probs_t = (nd_t * ph_t).astype(jnp.bfloat16)
                 probs_buf[lo:lo + 128, :] = probs_t
-                m = (probs_t.astype(jnp.float32) > 0).astype(jnp.int32)
-                lastnz = jnp.maximum(
-                    lastnz, jnp.max((iota_kt + lo) * m, axis=0))
+                if not positive_support:
+                    m = (probs_t.astype(jnp.float32) > 0).astype(jnp.int32)
+                    lastnz = jnp.maximum(
+                        lastnz, jnp.max((iota_kt + lo) * m, axis=0))
                 total = total + jnp.sum(probs_t.astype(jnp.float32),
                                         axis=0)
             u = u24s[c].astype(jnp.float32) * jnp.float32(2 ** -24) * total
@@ -782,7 +817,7 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
         oh_zold = (iota_k == zold[None, :]).astype(jnp.float32)
 
         nd_ext = jax.lax.dot(tb_buf[:, :], oh_d,
-                             precision=jax.lax.Precision.HIGHEST,
+                             precision=SELECT_PRECISION,
                              preferred_element_type=jnp.float32)
         flag = nd_ext[kpad, :]
         corr = oh_zold * flag[None, :]
@@ -790,11 +825,11 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
         if collapsed:
             # live collapsed word term: the streamed N_kw rmw window holds
             # the current counts of this w-window (stale only within one
-            # chunk); exclude the token's own count exactly
+            # chunk); exclude the token's own count
             sel = jax.lax.dot_general(
                 nkw_buf[slot], oh_w.astype(jnp.float32),
                 (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=SELECT_PRECISION,
                 preferred_element_type=jnp.float32)
             num = sel + beta_ref[0, 0] - corr
             den = nk_buf[:, 0:1] - corr
@@ -803,7 +838,9 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
             ph = jax.lax.dot(ph_buf[slot], oh_w,
                              preferred_element_type=jnp.float32)
             probs = (nd * ph).astype(jnp.bfloat16)
-        znew, total = cdf_draw(tril, probs, u24s[c])
+        znew, total = cdf_draw(
+            tril, probs, u24s[c],
+            lastnz_const=num_topics - 1 if positive_support else None)
         zout = jnp.where((flag > 0.5) & (total > 0), znew, zold)
         z_out[0, c, :] = zout
 
@@ -831,11 +868,13 @@ def _pcgs_stream_kernel(seed_ref, w_ref, d_ref, zo_ref, ww_ref, wwn_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("nwin_w", "nwin_d", "vspan", "dspan",
-                              "num_topics", "interpret"))
+                              "num_topics", "interpret", "force_ktile",
+                              "positive_support"))
 def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
                               ww_chunks, wd_chunks, u24=None, nk_plus=None,
                               beta=None, *, nwin_w, nwin_d, vspan, dspan,
-                              num_topics, interpret=False):
+                              num_topics, interpret=False,
+                              force_ktile=False, positive_support=False):
     """One PCGS Gibbs sweep over d-window-major StreamBlocks with the
     n_dk table, phi and N_kw all HBM-resident: VMEM holds one streamed
     window of each (the table slice written back on d-window changes),
@@ -851,7 +890,11 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
     """
     nb, chunks, chunk = w3.shape
     kpad = max(128, ((num_topics + 127) // 128) * 128)
-    ktiled = kpad >= KTILE_MIN
+    # force_ktile: test-only override running the K-tiled chunk body at
+    # small K, so the joint-distribution (Geweke) harnesses can exercise
+    # the ACTUAL tiled code — which otherwise only engages at
+    # kpad >= KTILE_MIN, shapes no statistical harness can afford
+    ktiled = kpad >= KTILE_MIN or force_ktile
     nbuf = 2 if ktiled else NBUF
     vpad = nwin_w * vspan
     v, k = phi_vk.shape
@@ -951,7 +994,7 @@ def fused_pcgs_sweep_streamed(w3, d3, z_old, ndk_table, phi_vk, seed,
             _pcgs_stream_kernel, vspan=vspan, dspan=dspan, kpad=kpad,
             num_topics=num_topics, chunks=chunks, chunk=chunk, nblocks=nb,
             u24_operand=u24 is not None, collapsed=collapsed,
-            ktiled=ktiled),
+            ktiled=ktiled, positive_support=positive_support),
         out_shape=[
             jax.ShapeDtypeStruct((nb, chunks, chunk), jnp.int32),
             jax.ShapeDtypeStruct((kpad + FLAG_ROWS, dpad), jnp.float32),

@@ -81,6 +81,34 @@ def test_streamed_path_end_to_end(scheme, monkeypatch):
     assert np.array_equal(np.asarray(st.ndk).astype(np.int64), ref_ndk)
 
 
+@pytest.mark.parametrize("scheme", ["pcgs", "adlda"])
+def test_ktiled_body_equals_untiled(scheme, monkeypatch):
+    """The K-tiled streamed chunk body must be draw-for-draw IDENTICAL
+    to the untiled streamed body given the same injected uniforms
+    (round-3 VERDICT item 4): both compute the same per-128-row tril
+    cdf with running offsets and the same HIGHEST-precision selects, so
+    at K=130 (kpad=256, TWO K-tiles — the running-offset seam is
+    exercised) the chains must agree exactly. Equality transfers the
+    untiled body's Geweke validation to the tiled body."""
+    from ldagroupedgibbssampler_tpu.models import fused_sweep as fs
+    monkeypatch.setattr(fs, "_FUSED_PCGS_VMEM_BUDGET", 1)
+    c = _tiny_corpus(3, docs=20, vocab=60, max_len=20)
+    zs, counts = [], []
+    for force in (False, True):
+        m = create_model(LDAConfig(scheme=scheme, topics=130, alpha=0.4,
+                                   beta=0.1, seed=11, exec_time=-1,
+                                   zdraw_kernel="interpret",
+                                   token_block=512))
+        m._force_ktile = force
+        m.add_instances(c)
+        assert m._fused_mode() == "streamed"
+        m.sample(2)
+        zs.append(m.get_z_indicators())
+        counts.append(np.asarray(m._nkw_kv()))
+    np.testing.assert_array_equal(zs[0], zs[1])
+    np.testing.assert_array_equal(counts[0], counts[1])
+
+
 def test_fused_checkpoint_roundtrip(tmp_path):
     c = _tiny_corpus(1)
     cfg = LDAConfig(scheme="pcgs", topics=5, alpha=0.5, beta=0.1, seed=3,

@@ -32,6 +32,11 @@ import numpy as np
 import pytest
 from scipy import stats as sps
 
+# Geweke chains are thousands of sampler steps each: the whole module is
+# the SLOW tier (round-3 VERDICT item 7 — the default `pytest -q` run
+# stays under ~10 minutes; `pytest -m "not tpu" tests/` runs everything)
+pytestmark = pytest.mark.slow
+
 from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
 from ldagroupedgibbssampler_tpu.corpus.ragged import Corpus
 from ldagroupedgibbssampler_tpu.models.registry import create_model
@@ -384,3 +389,184 @@ def test_geweke_lightcollapsed():
         z = _geweke_z(mc[:, i], sc[:, i])
         assert abs(z) < 5.0, (i, z)
         assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
+
+
+# ---------------------------------------------------------------------------
+# Round-3 VERDICT item 4: the fused kernel BODIES inside the joint harness.
+# zdraw_kernel="interpret" runs the ACTUAL Pallas chunk bodies under the
+# pltpu interpreter with real uniforms injected via the u24 operand
+# (models/fused_sweep.py), so these chains validate the kernel code paths
+# themselves — not the XLA fallback the other tests drive.
+# ---------------------------------------------------------------------------
+
+def test_geweke_pcgs_ktiled_interpret(monkeypatch):
+    """The K-tiled STREAMED chunk body (ops/pallas_pcgs.py, engages at
+    kpad >= KTILE_MIN in production) forced on at K=2 via _force_ktile
+    + a shrunken resident budget: the tiled staging through probs_buf,
+    the per-tile running-offset cdf and the per-tile delta updates sit
+    inside the validated transition. Complements
+    test_ktiled_body_equals_untiled (bit-equality at 2 K-tiles)."""
+    from ldagroupedgibbssampler_tpu.models import fused_sweep as fs
+    monkeypatch.setattr(fs, "_FUSED_PCGS_VMEM_BUDGET", 1)
+
+    def patch(m):
+        m._force_ktile = True
+    mc = _mc_draws(4000, seed=501)[:, [1, 2, 3]]
+    sc = _sc_series_ex("pcgs", steps=1400, burn=200, seed=502,
+                       stat_fn=_stats4,
+                       cfg_kw=dict(zdraw_kernel="interpret"),
+                       model_patch=patch)
+    for i in (0, 1, 2):
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < 5.0, (i, z)
+        assert sps.ks_2samp(mc[:, i], sc[::20, i]).pvalue > 1e-4, i
+
+
+def test_geweke_adlda_collapsed_interpret():
+    """The collapsed live-count (ADLDA-serving) RESIDENT body: the
+    conditional (n_dk + alpha)(beta + N_kw - own)/(V beta + n_k - own)
+    with N_kw/n_k live across chunks and stale only WITHIN one 128-token
+    chunk — a MEASURED-DEVIATION family (like `polyaurn`), not an exact
+    chain. At this harness scale each sequential-safe chunk holds up to
+    D=6 tokens (one per doc), i.e. 12.5% of the 48-token corpus draws
+    against counts stale by the rest of its chunk — proportionally FAR
+    larger than production shapes (128 of ~1.35M tokens), and still far
+    smaller than the reference's full-sweep cross-worker staleness
+    (ADLDA.java:176-332). Measured (1400 steps, seeds 503/504): the
+    staleness flattens the word/topic concentration slightly — phi00
+    z ~ +5.1 (SC 0.088 vs MC 0.127), frac_w0 z ~ +3.5 (SC 0.095 vs MC
+    0.127), frac_z0 z ~ +2.1 — a bounded bias this test pins in
+    direction and size so a staleness regression (e.g. deltas applied a
+    chunk late) is caught."""
+    mc = _mc_draws(4000, seed=503)[:, [1, 2, 3]]
+    sc = _sc_series_ex("adlda", steps=1400, burn=200, seed=504,
+                       stat_fn=_stats4,
+                       cfg_kw=dict(zdraw_kernel="interpret"))
+    zs = [_geweke_z(mc[:, i], sc[:, i]) for i in (0, 1, 2)]
+    # bounded deviation, documented direction (SC means below MC)
+    for i, z in enumerate(zs):
+        assert 0.0 < z < 9.0, (i, z)
+        assert sc[:, i].mean() < mc[:, i].mean(), i
+    # absolute bias stays small
+    assert abs(mc[:, 0].mean() - sc[:, 0].mean()) < 0.06
+    assert abs(mc[:, 2].mean() - sc[:, 2].mean()) < 0.06
+
+
+# ---------------------------------------------------------------------------
+# Round-3 VERDICT item 3: the DYNAMIC-K HDP chains (topic birth/death)
+# in the joint harness. The marginal-conditional simulator draws from the
+# truncated-GEM prior process (the same joint the fixed-K
+# `ppu_hdplda_all_topics` test validates against); the dynamic chains'
+# birth/death is a heuristic approximation the reference never validates
+# — these tests MEASURE its deviation and pin both the agreeing marginals
+# and the direction/size of the documented deviations.
+# ---------------------------------------------------------------------------
+
+HDP_KMAX, HDP_ALPHA0, HDP_GAMMA = 4, 2.0, 1.0
+HDP_STATS = ["phi00", "frac_z0", "frac_w0", "psi0", "occupancy"]
+
+
+def _hdp_mc_draws(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        b = np.clip(rng.beta(1.0, HDP_GAMMA, HDP_KMAX), 1e-7, 1 - 1e-7)
+        psi = b * np.concatenate([[1.0], np.cumprod(1 - b)[:-1]])
+        psi = psi / psi.sum()
+        phi = rng.dirichlet(np.full(V, BETA), HDP_KMAX)
+        sh = rng.gamma(np.maximum(HDP_ALPHA0 * psi, 1e-8), 1.0,
+                       (D, HDP_KMAX))
+        theta = sh / np.maximum(sh.sum(axis=1, keepdims=True), 1e-300)
+        z = np.array([rng.choice(HDP_KMAX, p=theta[d]) for d in range(D)
+                      for _ in range(L)])
+        w = np.array([rng.choice(V, p=phi[k]) for k in z])
+        out.append((phi[0, 0], float(np.mean(z == 0)),
+                    float(np.mean(w == 0)), float(psi[0]),
+                    float(len(np.unique(z)))))
+    return np.array(out)
+
+
+def _hdp_sc_series(scheme, steps, burn, seed):
+    rng = np.random.default_rng(seed)
+    b = np.clip(rng.beta(1.0, HDP_GAMMA, HDP_KMAX), 1e-7, 1 - 1e-7)
+    psi0 = b * np.concatenate([[1.0], np.cumprod(1 - b)[:-1]])
+    psi0 = psi0 / psi0.sum()
+    phi0 = rng.dirichlet(np.full(V, BETA), HDP_KMAX)
+    sh = rng.gamma(np.maximum(HDP_ALPHA0 * psi0, 1e-8), 1.0, (D, HDP_KMAX))
+    theta0 = sh / sh.sum(axis=1, keepdims=True)
+    z = np.array([rng.choice(HDP_KMAX, p=theta0[d]) for d in range(D)
+                  for _ in range(L)]).astype(np.int32)
+    w = np.array([rng.choice(V, p=phi0[k]) for k in z], np.int32)
+    m = create_model(LDAConfig(scheme=scheme, topics=HDP_KMAX,
+                               alpha=HDP_ALPHA0, beta=BETA, seed=seed,
+                               exec_time=-1, hdp_gamma=HDP_GAMMA,
+                               hdp_start_topics=HDP_KMAX))
+    m.add_instances(_corpus(w))
+    m.set_z_indicators(z)
+    out = []
+    for s in range(steps):
+        m.sample(1)
+        z = m.get_z_indicators()
+        phi = m.get_phi()[:HDP_KMAX]
+        if s >= burn:
+            out.append((phi[0, 0], float(np.mean(z == 0)),
+                        float(np.mean(w == 0)),
+                        float(np.asarray(m.state.psi)[0]),
+                        float(len(np.unique(z)))))
+        # after a sweep no token sits on a dead (phi-zeroed) topic, so
+        # the data-replication draw is well-defined
+        w = _resample_w(rng, phi, z)
+        m.swap_corpus_tokens(_corpus(w))
+    return np.array(out)
+
+
+def test_geweke_hdp_dynamic_birth_death():
+    """`ppu_hdplda` (dynamic active set, geometric Gamma births,
+    PoissonPolyaUrnHDPLDA.java:565-625): word-level marginals (phi00,
+    frac_w0) agree with the truncated-GEM joint, while the birth/death
+    heuristic CONCENTRATES topic mass — once a high-index topic dies it
+    is rarely reborn (the geometric index prior favours low indices), so
+    the occupied-topic count sits far BELOW the ancestral draw
+    (measured: SC ~1.57 occupied vs MC ~2.97, Geweke z ~ +16) and the
+    surviving topic-0 share (psi_0, frac_z0) correspondingly ABOVE
+    (SC ~0.75-0.77 vs MC ~0.53). The reference has the same dynamics —
+    this test pins the deviation's direction and size so a birth/death
+    regression (e.g. births stopping entirely, or death of non-empty
+    topics) is caught."""
+    mc = _hdp_mc_draws(4000, 601)
+    sc = _hdp_sc_series("ppu_hdplda", steps=2000, burn=200, seed=602)
+    for i, zmax in ((0, 5.0), (2, 5.0)):        # phi00, frac_w0 agree
+        z = _geweke_z(mc[:, i], sc[:, i])
+        assert abs(z) < zmax, (HDP_STATS[i], z)
+    # documented concentration deviation, direction + size pinned
+    z_occ = _geweke_z(mc[:, 4], sc[:, 4])
+    assert z_occ > 8.0, z_occ                   # SC occupancy below MC
+    assert 1.0 <= sc[:, 4].mean() < mc[:, 4].mean(), sc[:, 4].mean()
+    assert sc[:, 3].mean() > mc[:, 3].mean(), (  # psi0 elevated
+        sc[:, 3].mean(), mc[:, 3].mean())
+    assert sc[:, 1].mean() > mc[:, 1].mean()     # frac_z0 elevated
+
+
+def test_geweke_hlda_dynamic_contiguous_growth():
+    """`ppu_hlda` (contiguous growth, Poisson psi,
+    PoissonPolyaUrnHLDA.java:300,846): frac_w0 agrees, while the
+    Poisson-psi + contiguous-rebirth dynamic SPREADS topic mass — reborn
+    low slots carry a pseudo-table (eta += 1) so psi_0 and the topic-0
+    token share sit far BELOW the size-ordered GEM ancestral draw
+    (measured: psi0 SC ~0.19 vs MC ~0.53, z ~ +11; frac_z0 SC ~0.18,
+    z ~ +10), with occupancy mildly ABOVE (z ~ -3.5). Direction and
+    size pinned as the documented deviation."""
+    mc = _hdp_mc_draws(4000, 601)
+    sc = _hdp_sc_series("ppu_hlda", steps=2000, burn=200, seed=602)
+    z_w0 = _geweke_z(mc[:, 2], sc[:, 2])
+    assert abs(z_w0) < 5.0, z_w0
+    z_psi = _geweke_z(mc[:, 3], sc[:, 3])
+    assert z_psi > 5.0, z_psi                    # psi0 depressed
+    assert sc[:, 3].mean() < mc[:, 3].mean()
+    z_z0 = _geweke_z(mc[:, 1], sc[:, 1])
+    assert z_z0 > 5.0, z_z0                      # frac_z0 depressed
+    # occupancy close (mildly above): the growth mechanism keeps slots
+    # occupied rather than concentrating
+    z_occ = _geweke_z(mc[:, 4], sc[:, 4])
+    assert abs(z_occ) < 8.0, z_occ
+    assert sc[:, 4].mean() >= mc[:, 4].mean() - 0.5
