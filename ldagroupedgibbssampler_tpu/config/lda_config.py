@@ -147,6 +147,7 @@ class LDAConfig:
     #   | "interpret" (test-only: fused sweep kernels under the pltpu
     #     interpreter on any backend; in-kernel PRNG lowers to zeros)
     zdraw_precise: bool = False    # fused kernel: bf16x2 tables + f32 cdf
+    aliasmh_rounds: int = 2        # ggs_aliasmh: word+doc MH round pairs per sweep (large-K O(1)-per-token z-step; more rounds = better mixing, linear cost)
 
     def replace(self, **kw) -> "LDAConfig":
         return dataclasses.replace(self, **kw)

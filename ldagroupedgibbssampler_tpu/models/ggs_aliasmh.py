@@ -1,0 +1,234 @@
+"""GGS-AliasMH — the sublinear large-K grouped sampler, scheme
+`ggs_aliasmh`.
+
+The TPU realization of the reference's alias-table performance layer
+(SpaliasUncollapsedParallelLDA.java:39-115 + the LightLDA proposal
+machinery, LightPCLDAtypeTopicProposal.java:23-53): at large K the dense
+fused kernels pay Θ(K) MXU/VPU work per token, and the measured
+practical ceiling of that path is ~8M tokens/s at K=4096 (BENCH_MATRIX
+row 5b; PERF.md MFU table). This scheme replaces the exact K-wide
+inverse-CDF z-draw of GGS with LightLDA-style Metropolis-Hastings
+updates whose per-token cost is O(1) *in K*:
+
+  target (the GGS conditional given this sweep's draws):
+      p_t(k) ∝ theta[d_t, k] * phi[k, w_t]
+  word step:  propose k* = z_entry[uniform token of type w_t] with
+      prob n_w/(n_w + K*beta), else uniform — i.e. exactly
+      q_w(k) = (N_kw^entry + beta) / (n_w + K*beta), the reference's
+      count-based word proposal (LightPCLDAtypeTopicProposal.java:23-53)
+  doc step:   propose k* = z_entry[uniform token of doc d_t] with prob
+      L_d/(L_d + alpha_sum), else uniform — q_d(k) =
+      (n_dk^entry + alpha) / (L_d + alpha_sum), the reference's doc
+      proposal (LightPCLDA.java doc bucket)
+  accept with min(1, p(k*) q(z) / (p(z) q(k*))) — a valid MH kernel per
+  token; tokens are conditionally independent given (theta, phi) in the
+  GROUPED sampler, so every token's chain runs fully in parallel as
+  bulk XLA with no Pallas kernel and no sequential constraint. That
+  grouping is what makes the alias idea finally TPU-viable: the PCGS
+  family's live n_dk would force in-kernel scalar gathers (measured
+  dead end, PERF.md "Sublinear large-K draw").
+
+Each density/target evaluation costs ONE 8-byte row gather from packed
+[.,2] tables ((phi,N_kw) by w*K+k and (theta,n_dk) by d*K+k) — 7
+gathers/token/round, near the floor for a valid MH on this target.
+Measured (benchmarks/alias_mh_probe.py, v5e-1, 20NG shapes): the sweep
+runs ~15M tokens/s *independent of K* (K=1000..16384); full iterations
+at K=4096: ~9M tok/s (1 round) — above dense GGS's 8.1M and 2.6x the
+dense spalias row — with the theta/phi Dirichlet draws, not the z-draw,
+dominating at K >= 8192. Below K≈2000 the dense fused kernels win;
+this scheme is the LARGE-K option.
+
+Chain validity: each sweep is [theta | n_d] exact, [z | theta, phi] one
+or more MH rounds leaving p(z|theta,phi,w) invariant, [phi | z] exact —
+the composition targets the same joint as GGS with slower per-sweep
+mixing (`aliasmh_rounds` trades throughput for mixing; the reference's
+LightLDA uses the same economy). Geweke-validated in
+tests/test_geweke.py::test_geweke_ggs_aliasmh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
+
+_TINY = 1e-38
+
+
+def alias_mh_rounds(key, z, wK, dK, wk_pack, dk_pack, upd_ok,
+                    p_tok_w, p_tok_d, pick_doc, pick_ty,
+                    doc_len_tok, ty_cnt_tok, num_topics, rounds):
+    """`rounds` alternating word/doc MH rounds over all tokens at once.
+
+    z: int32 [S] current assignments over (padded) token slots.
+    wK/dK: precomputed w*K / d*K flat-index bases per slot.
+    wk_pack: f32 [V*K, 2] rows (phi[k,w], N_kw^entry[w,k]);
+    dk_pack: f32 [D*K, 2] rows (theta[d,k], n_dk^entry[d,k]).
+    upd_ok: bool [S] — padding slots and random-scan-unselected docs
+        keep z (their chains simply don't move this sweep).
+    p_tok_w/p_tok_d: per-slot mixture probabilities n_w/(n_w+K beta) and
+        L_d/(L_d+alpha_sum).
+    pick_doc(r)/pick_ty(r): map a uniform in-doc / in-type rank to
+        that token's SWEEP-ENTRY topic (closures over z_entry hoisted
+        into doc-order / type-order once per sweep — one gather per
+        pick).
+    Returns (z', (acc_w, acc_d) mean acceptance rates per round).
+    """
+    n = z.shape[0]
+
+    # current-point target and proposal densities, CARRIED across steps
+    # so only the proposed point costs gathers (wk_pack[:,1] already
+    # holds N_kw+beta and dk_pack[:,1] n_dk+alpha — the unnormalised
+    # q densities; normalisers are per-token constants and cancel)
+    wk0 = wk_pack[wK + z]
+    dk0 = dk_pack[dK + z]
+    t_cur, qw_cur, qd_cur = dk0[:, 0] * wk0[:, 0], wk0[:, 1], dk0[:, 1]
+
+    def one_round(carry, kr):
+        zz, t_c, qw_c, qd_c = carry
+        ks = jax.random.split(kr, 8)
+        # ---- word step
+        r = jax.random.uniform(ks[1], (n,))
+        pos = jnp.minimum((r * ty_cnt_tok).astype(jnp.int32),
+                          jnp.maximum(ty_cnt_tok, 1) - 1)
+        k_tok = pick_ty(pos)
+        k_unif = jax.random.randint(ks[2], (n,), 0, num_topics, jnp.int32)
+        kprop = jnp.where(jax.random.uniform(ks[0], (n,)) < p_tok_w,
+                          k_tok, k_unif)
+        wkn = wk_pack[wK + kprop]
+        dkn = dk_pack[dK + kprop]
+        t_new = dkn[:, 0] * wkn[:, 0]
+        q_new = wkn[:, 1]
+        acc = upd_ok & ((jax.random.uniform(ks[3], (n,))
+                         * jnp.maximum(t_c * q_new, _TINY))
+                        < t_new * qw_c)
+        zz = jnp.where(acc, kprop, zz)
+        t_c = jnp.where(acc, t_new, t_c)
+        qw_c = jnp.where(acc, q_new, qw_c)
+        qd_c = jnp.where(acc, dkn[:, 1], qd_c)
+        # ---- doc step
+        r2 = jax.random.uniform(ks[5], (n,))
+        pos2 = jnp.minimum((r2 * doc_len_tok).astype(jnp.int32),
+                           jnp.maximum(doc_len_tok, 1) - 1)
+        k_tok2 = pick_doc(pos2)
+        k_unif2 = jax.random.randint(ks[6], (n,), 0, num_topics,
+                                     jnp.int32)
+        kprop2 = jnp.where(jax.random.uniform(ks[4], (n,)) < p_tok_d,
+                           k_tok2, k_unif2)
+        wkn2 = wk_pack[wK + kprop2]
+        dkn2 = dk_pack[dK + kprop2]
+        t_new2 = dkn2[:, 0] * wkn2[:, 0]
+        q2_new = dkn2[:, 1]
+        acc2 = upd_ok & ((jax.random.uniform(ks[7], (n,))
+                          * jnp.maximum(t_c * q2_new, _TINY))
+                         < t_new2 * qd_c)
+        zz = jnp.where(acc2, kprop2, zz)
+        t_c = jnp.where(acc2, t_new2, t_c)
+        qd_c = jnp.where(acc2, q2_new, qd_c)
+        qw_c = jnp.where(acc2, wkn2[:, 1], qw_c)
+        sel = upd_ok.astype(jnp.float32)
+        den = jnp.maximum(jnp.sum(sel), 1.0)
+        return (zz, t_c, qw_c, qd_c), (
+            jnp.sum(acc.astype(jnp.float32)) / den,
+            jnp.sum(acc2.astype(jnp.float32)) / den)
+
+    (z_out, *_), accs = jax.lax.scan(
+        one_round, (z, t_cur, qw_cur, qd_cur),
+        jax.random.split(key, rounds))
+    return z_out, accs
+
+
+class LDAGroupedGibbsSamplerAliasMH(LDAGroupedGibbsSampler):
+    """GGS with the O(1)-per-token alias-MH z-step (module docstring)."""
+
+    def _use_fused_zdraw(self) -> bool:
+        # the MH step IS the z-draw; flat per-slot (w, d) arrays and the
+        # windowed count kernels do the rest
+        return False
+
+    def _prepare_device_data(self, corpus):
+        super()._prepare_device_data(corpus)
+        v = corpus.num_types
+        tokens = corpus.tokens
+        n = corpus.num_tokens
+        # The MH rounds run over CANONICAL (doc-major, unpadded) token
+        # arrays — at 128-wide windows the GGS block layout is ~2.2x
+        # padded, and paying that on every gather measured the first
+        # integration at 3.6M tok/s vs the probe's ~9M. Only the z
+        # vector crosses the layout boundary: one gather in (slot of
+        # canonical token), one gather out (canonical token of slot).
+        fi = self._blocks.flat_index.reshape(-1)
+        valid = fi >= 0
+        inv = np.zeros(n, np.int64)
+        inv[fi[valid]] = np.flatnonzero(valid)
+        self._mh_slot_of_can = jnp.asarray(inv.astype(np.int32))
+        self._mh_can_of_slot = jnp.asarray(
+            np.maximum(fi, 0).astype(np.int32))
+        lengths = np.diff(corpus.doc_offsets).astype(np.int64)
+        ty_cnt = np.bincount(tokens, minlength=v).astype(np.int64)
+        ty_off = np.concatenate([[0], np.cumsum(ty_cnt)[:-1]])
+        self._mh_ty_perm = jnp.asarray(
+            np.argsort(tokens, kind="stable").astype(np.int32))
+        doc_ids = corpus.token_doc_ids()
+        self._mh_w = jnp.asarray(tokens.astype(np.int32))
+        self._mh_d = jnp.asarray(doc_ids.astype(np.int32))
+        self._mh_doc_base = jnp.asarray(
+            corpus.doc_offsets[:-1].astype(np.int64)[doc_ids]
+            .astype(np.int32))
+        self._mh_ty_base = jnp.asarray(ty_off[tokens].astype(np.int32))
+        self._mh_doc_len = jnp.asarray(lengths[doc_ids].astype(np.int32))
+        self._mh_ty_cnt = jnp.asarray(ty_cnt[tokens].astype(np.int32))
+
+    def _step(self, state, doc_mask, type_mask):
+        cfg = self.config
+        K = cfg.topics
+        k_theta, k_z, k_phi, k_next = jax.random.split(state.key, 4)
+
+        # (1) theta — unchanged GGS semantics
+        theta = self._theta_update(k_theta, state, doc_mask)
+
+        # (2) alias-MH z rounds (all tokens in parallel, bulk XLA, over
+        # the canonical unpadded token axis)
+        nkw_vk = state.nkw.astype(jnp.float32)             # [V, K]
+        wk_pack = jnp.stack(
+            [state.phi.reshape(-1), nkw_vk.reshape(-1) + state.beta],
+            axis=1)
+        dk_pack = jnp.stack(
+            [theta.reshape(-1),
+             (state.ndk.astype(jnp.float32)
+              + state.alpha[None, :]).reshape(-1)], axis=1)
+        wK = self._mh_w * K
+        dK = self._mh_d * K
+        upd_ok = (jnp.ones(self._mh_w.shape, bool) if doc_mask is None
+                  else doc_mask[self._mh_d])
+        a_sum = jnp.sum(state.alpha)
+        kb = K * state.beta
+        ld = self._mh_doc_len.astype(jnp.float32)
+        cw = self._mh_ty_cnt.astype(jnp.float32)
+        z_can = state.z[self._mh_slot_of_can]
+        # sweep-entry topic arrays hoisted into pick order: one gather
+        # per pick inside the rounds
+        z_entry_doc = z_can                       # canonical IS doc-major
+        z_entry_ty = z_can[self._mh_ty_perm]
+        z_can, _accs = alias_mh_rounds(
+            k_z, z_can, wK, dK, wk_pack, dk_pack, upd_ok,
+            cw / (cw + kb), ld / (ld + a_sum),
+            lambda pos: z_entry_doc[self._mh_doc_base + pos],
+            lambda pos: z_entry_ty[self._mh_ty_base + pos],
+            self._mh_doc_len, self._mh_ty_cnt, K,
+            max(1, cfg.aliasmh_rounds))
+        z = jnp.where(self.mf, z_can[self._mh_can_of_slot], 0)
+
+        # (3) counts — same windowed count kernels as GGS
+        nkw = self._count_nkw(z)
+        ndk = self._count_ndk(z)
+
+        # (4) phi
+        phi = self._sample_phi(k_phi, nkw, state.beta, type_mask,
+                               state.phi)
+        return state._replace(key=k_next, z=z, ndk=ndk, nkw=nkw,
+                              nk=jnp.sum(nkw, axis=0), phi=phi,
+                              theta=theta,
+                              iteration=state.iteration + 1)

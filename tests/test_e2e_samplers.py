@@ -14,7 +14,8 @@ CORE_SCHEMES = ["ggs", "pcgs", "uncollapsed", "collapsed", "adlda",
                 "spalias", "efficient_uncollapsed"]
 EXTENDED_SCHEMES = ["ggs_test", "polyaurn", "nzvsspalias", "lightpclda",
                     "lightpcldaw2", "lightcollapsed", "ppu_hdplda",
-                    "ppu_hlda", "ppu_hdplda_all_topics", "spalias_priors"]
+                    "ppu_hlda", "ppu_hdplda_all_topics", "spalias_priors",
+                    "ggs_aliasmh"]
 
 
 def _run(scheme, corpus, iterations=30, topics=3, **kw):

@@ -570,3 +570,17 @@ def test_geweke_hlda_dynamic_contiguous_growth():
     z_occ = _geweke_z(mc[:, 4], sc[:, 4])
     assert abs(z_occ) < 8.0, z_occ
     assert sc[:, 4].mean() >= mc[:, 4].mean() - 0.5
+
+
+def test_geweke_ggs_aliasmh():
+    """`ggs_aliasmh` (round 4): the O(1)-per-token alias-MH z-step on
+    the grouped target — theta exact, z via count-proposal MH rounds
+    (word proposal q ∝ N_kw^entry + beta, doc proposal q ∝ n_dk^entry +
+    alpha, LightPCLDAtypeTopicProposal.java:23-53 / LightPCLDA doc
+    bucket), phi exact. A valid MH-within-Gibbs kernel must leave the
+    SAME joint invariant as exact GGS — acceptance-ratio or
+    entry-snapshot bugs (e.g. proposing from live z instead of the sweep
+    entry without density correction) are exactly what this run flags."""
+    mc = _mc_draws(4000, seed=601)
+    sc = _sc_series("ggs_aliasmh", steps=2600, burn=200, seed=602)
+    _agree(mc, sc, [0, 1, 2, 3], "ggs_aliasmh")
