@@ -10,10 +10,15 @@ accounting: achieved TFLOP/s, % of v5e bf16 peak, achieved GB/s, % of
 HBM peak, and which ceiling binds. The table is committed to PERF.md so
 large-K perf work targets the real bottleneck instead of guessing.
 
-FLOP conventions: 1 MAC = 2 FLOP; the SELECT_PRECISION (bf16x3, HIGH)
-one-hot selects count 3 bf16 MXU passes (before round 4 these were
-HIGHEST = 6 passes — the MFU table is what motivated the change);
-default-precision bf16 matmuls count 1. VPU elementwise work is NOT
+FLOP conventions: 1 MAC = 2 FLOP; the f32 HIGHEST one-hot selects
+count 2 bf16-equivalent MXU passes — the ON-CHIP MEASURED cost ratio
+(f32-HIGHEST matmul throughput ~0.5x bf16 on this target; an earlier
+bf16x6 model predicted 6x and was refuted by the same probe) —
+and default-precision bf16 matmuls count 1. The %peak column uses the
+197 TFLOP/s dense-bf16 sheet number; note the measured PRACTICAL
+ceiling for the kernels' [<=512,128]x[128,128] one-hot shapes is
+~80 TFLOP/s (40 TMAC/s micro-probe), so rows near ~40% of sheet peak
+are running near the achievable rate for their shape. VPU elementwise work is NOT
 counted as FLOPs (it shares no roofline with the MXU) — kernels whose
 cost is VPU-pass-bound therefore show low MXU utilisation by design and
 the note column says so.
@@ -102,13 +107,13 @@ def pcgs_model(k, collapsed, mh=False):
     vs, ds, ch = b.vspan, b.dspan, b.chunk
     chunks = b.w_local.size // ch
     # matmul terms per chunk (see _pcgs_kernel / _pcgs_stream_kernel):
-    #   nd_ext  SELECT_PRECISION (kp+8)*ds*ch   -> 3 passes
+    #   nd_ext  f32 HIGHEST (kp+8)*ds*ch   -> 2 measured passes
     #   ph select bf16 kp*vs*ch (not in collapsed mode)
-    #   sel     SELECT_PRECISION kp*vs*ch (collapsed only) -> 3 passes
+    #   sel     f32 HIGHEST kp*vs*ch (collapsed only) -> 2 passes
     #   tril cdf kp*128*ch
     #   delta upd kp*ch*ds
     #   nkw acc  vs*ch*kp (bf16 one-hot)
-    sp = 3  # SELECT_PRECISION passes
+    sp = 2  # measured bf16-equivalent passes of an f32 HIGHEST select
     macs_c = sp * (kp + FLAG_ROWS) * ds * ch + kp * 128 * ch \
         + kp * ch * ds + vs * ch * kp
     if collapsed:
