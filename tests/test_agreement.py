@@ -9,6 +9,11 @@ count conservation after every sweep)."""
 import numpy as np
 import pytest
 
+# statistical cross-sampler chains (hundreds of iterations each): slow
+# tier — the full suite (`-m "not tpu"`) and the revalidation script
+# still run them
+pytestmark = pytest.mark.slow
+
 from ldagroupedgibbssampler_tpu.config import LDAConfig
 from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
     model_log_likelihood)

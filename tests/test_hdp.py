@@ -151,6 +151,7 @@ def test_hlda_births_take_lowest_inactive_indices(synthetic_corpus):
     assert hist[-1] >= 3
 
 
+@pytest.mark.slow
 def test_hdp_schemes_differ(synthetic_corpus):
     """ppu_hdplda / ppu_hlda / ppu_hdplda_all_topics are distinct chains
     now (round-1 had the first two as pure aliases): their final states

@@ -54,6 +54,7 @@ def test_sharded_ggs_learns_planted_topics(mesh8, synthetic_corpus):
     assert purity.mean() > 0.7, purity
 
 
+@pytest.mark.slow
 def test_sharded_vs_single_chip_statistics(mesh8, synthetic_corpus):
     """1-chip vs 8-chip GGS agree in distribution: final LLs within a
     tolerant band (they are different chains — same stationary dist)."""
@@ -151,6 +152,7 @@ def test_vocab_sharded_ggs_conserves_and_learns(mesh8, synthetic_corpus):
     assert purity.mean() > 0.7, purity
 
 
+@pytest.mark.slow
 def test_vocab_sharded_vs_single_chip_statistics(mesh8, synthetic_corpus):
     from ldagroupedgibbssampler_tpu.evaluation.likelihood import (
         model_log_likelihood)
