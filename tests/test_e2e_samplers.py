@@ -44,7 +44,7 @@ def test_scheme_runs_and_counts_consistent(scheme, cats_corpus):
 
 @pytest.mark.parametrize("scheme", EXTENDED_SCHEMES)
 def test_extended_scheme_runs(scheme, synthetic_corpus):
-    """All 16 registry schemes run and keep count invariants
+    """All 18 registry schemes run and keep count invariants
     (createModel parity, tui/ParallelLDA.java:401-490)."""
     model = _run(scheme, synthetic_corpus, iterations=8)
     st = model.state

@@ -66,12 +66,16 @@ def test_fused_pcgs_onchip_checks():
 
 
 def test_fused_ggs_onchip_geweke():
-    """Geweke 'getting it right' with the REAL fused kernels — one chain
-    per kernel family (GGS z-draw bf16, PCGS sequential sweep, LightLDA
-    MH): the on-chip PRNG, the bf16 fast path and the cell-block layouts
-    all sit inside the validated transitions (the CPU Geweke suite only
-    exercises the XLA fallbacks). Measured round 3: GGS |z| <= 1.04,
-    PCGS |z| <= 0.62, MH |z| <= 1.90, KS healthy on every statistic
-    (benchmarks/tpu_geweke_check.py)."""
-    out = _run_script("benchmarks/tpu_geweke_check.py")
+    """Geweke 'getting it right' with the REAL fused kernels — round 4:
+    FIVE chains (GGS z-draw bf16, PCGS sequential sweep, LightLDA MH,
+    the K-tiled streamed chunk body forced on at tiny K, and the
+    collapsed live-count ADLDA body as a measured-deviation family):
+    the on-chip PRNG, the bf16 fast path and the cell-block layouts all
+    sit inside the validated transitions (the CPU Geweke suite drives
+    the XLA fallbacks plus the interpreted bodies). Measured round 4
+    (ONCHIP_GEWEKE.json): every |z| <= 1.9, KS healthy on every
+    statistic; the ktiled chain reproduces the untiled chain's z-scores
+    exactly (bit-identical draws). ~75 min on the tunnel; the driver
+    artifact regenerates via benchmarks/tpu_geweke_check.py."""
+    out = _run_script("benchmarks/tpu_geweke_check.py", timeout=6600)
     assert "on-chip Geweke check passed" in out, out[-2000:]
