@@ -21,10 +21,15 @@ sweep at 20NG shapes over K in {1000, 4096, 8192, 16384} plus the
 theta/phi Dirichlet-draw context cost, giving the crossover against the
 dense MXU kernels (BENCH_MATRIX rows 5/5b/7c/7d).
 
-Measured round 4 (v5e-1, N=1.35M): see PERF.md — the dense path wins at
-every K the reference targets; TPU scalar-gather throughput (~8-10 ns/
-element) puts the MH sweep at ~150-220 ns/token while the dense kernels
-pay ~35-120 ns/token at K<=4096.
+Measured round 4 (v5e-1, N=1.35M): the packed 7-gather sweep runs
+~66 ns/token (~15M tokens/s) FLAT in K through K=16384 (TPU scalar
+gathers ~8-10 ns/row); naive 28-gather and hoisted 13-gather versions
+measured 294/152 ms vs the packed 90 ms — gather count is the whole
+game. Full iterations add the theta/phi Dirichlet draws (58 ms at
+K=4096, 214 ms at 16384), which dominate beyond K~8192. The dense MXU
+kernels win below K≈2000 (GGS 28.3M at K=1000); the shipped scheme
+`ggs_aliasmh` wins past it (7.57M vs spalias 3.52M at K=4096,
+BENCH_MATRIX 7e). See PERF.md "Sublinear large-K draw".
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
          python benchmarks/alias_mh_probe.py
