@@ -41,8 +41,12 @@ the one-hot-matmul MH formulation is already linear in K (measured
 45.4M tok/s at K=100 -> 8.7M at K=1000; extrapolated ~2.6M at K=4096),
 so a tiled kernel lands at ~1.7M, at or below the measured 1.8M XLA
 fallback (BENCH_MATRIX row 9c). The MH family's O(1)-per-token property
-does not survive the gather-free formulation; at large K the dense
-streamed GGS (8.1M at K=4096) is the measured winner regardless.
+does not survive the gather-free formulation — it IS recovered, round 4,
+by `models/ggs_aliasmh.py`: the same count-proposal MH economy on the
+GROUPED target runs as bulk XLA with O(1) packed-row gathers per token
+(7.57M tok/s at K=4096, BENCH_MATRIX 7e) and is the recommended
+large-K MH route; this kernel remains the exact-LightLDA-semantics
+(live n_dk) family for K < ~2000.
 """
 
 from __future__ import annotations
