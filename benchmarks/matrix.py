@@ -457,6 +457,9 @@ def main(argv=None):
             m7e.sample(60)
             ll_mh = float(_mll7e(m7e.state.ndk, m7e._nkw_kv(),
                                  m7e.get_alpha(), m7e.get_beta()))
+            m7e.sample(140)    # to 200 iterations — the plateau reading
+            ll_mh200 = float(_mll7e(m7e.state.ndk, m7e._nkw_kv(),
+                                    m7e.get_alpha(), m7e.get_beta()))
             del m7e
             m7e2 = create_model(cfg7e.replace(aliasmh_rounds=2))
             m7e2.add_instances(corpus)
@@ -471,6 +474,9 @@ def main(argv=None):
             mgg.sample(60)
             ll_gg = float(_mll7e(mgg.state.ndk, mgg._nkw_kv(),
                                  mgg.get_alpha(), mgg.get_beta()))
+            mgg.sample(140)
+            ll_gg200 = float(_mll7e(mgg.state.ndk, mgg._nkw_kv(),
+                                    mgg.get_alpha(), mgg.get_beta()))
             del mgg
             report["results"]["7e_ggs_aliasmh_20ng_k4096"] = {
                 "tokens_per_sec": tps1,
@@ -479,7 +485,11 @@ def main(argv=None):
                 "aliasmh_ll_60": round(ll_mh, 1),
                 "dense_ggs_ll_60": round(ll_gg, 1),
                 "ll_rel_gap_60": round(abs(ll_mh - ll_gg) / abs(ll_gg),
-                                       4)}
+                                       4),
+                "aliasmh_ll_200": round(ll_mh200, 1),
+                "dense_ggs_ll_200": round(ll_gg200, 1),
+                "ll_rel_gap_200": round(abs(ll_mh200 - ll_gg200)
+                                        / abs(ll_gg200), 4)}
 
     # 8c. ADLDA staleness-contract check at realistic K/V (round-1 weak
     #     item 6): the sweep-stale fused ADLDA's model-LL trajectory must
