@@ -34,7 +34,8 @@ from scipy import stats as sps
 
 # Geweke chains are thousands of sampler steps each: the whole module is
 # the SLOW tier (round-3 VERDICT item 7 — the default `pytest -q` run
-# stays under ~10 minutes; `pytest -m "not tpu" tests/` runs everything)
+# is ~20 min on this 2-vCPU host vs ~73 min for the full suite;
+# `pytest -m "not tpu" tests/` runs everything)
 pytestmark = pytest.mark.slow
 
 from ldagroupedgibbssampler_tpu.config.lda_config import LDAConfig
