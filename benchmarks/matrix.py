@@ -491,6 +491,13 @@ def main(argv=None):
                 "ll_rel_gap_200": round(abs(ll_mh200 - ll_gg200)
                                         / abs(ll_gg200), 4)}
 
+    # (No 7f K=8192 matrix row: the K=8192 full-iteration pair was probed
+    # in round 4 and crashes the TPU worker under HBM pressure — the
+    # regime's numbers of record are the alias_mh_probe.py sweep results
+    # in PERF.md ("Large-K" section: aliasmh sweep flat ~15M tok/s through
+    # K=16384; dense fused kernels are kpad-gated to <= 4096 and fall back
+    # to the segmented XLA z-draw past that).
+
     # 8c. ADLDA staleness-contract check at realistic K/V (round-1 weak
     #     item 6): the sweep-stale fused ADLDA's model-LL trajectory must
     #     track the PCGS chain at 20NG scale K=100 — the same "one sweep

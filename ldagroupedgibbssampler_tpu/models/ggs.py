@@ -101,9 +101,21 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         self.dla = jnp.asarray(blocks.d_local_a)
         self.windc = jnp.asarray(blocks.win_d_chunks)
 
+    # Largest kpad the fused z-draw kernel COMPILES at: the chunk body's
+    # per-chunk temps grow ~kpad*128*4 x a few on the Mosaic scoped-VMEM
+    # stack, and at kpad=8192 the compile crashes (round-4 K=8192 probe;
+    # same failure class the PCGS kernels hit at 4096 and fixed with the
+    # K-tiled body — this kernel has no tiled body, so past the bound the
+    # model falls back to the segmented XLA z-draw instead of crashing).
+    # Past ~4096 topics the dense path is not competitive anyway: use
+    # scheme `ggs_aliasmh` (O(1)-per-token draws, BENCH_MATRIX 7e/7f).
+    _FUSED_ZDRAW_KPAD_MAX = 4096
+
     def _use_fused_zdraw(self) -> bool:
         mode = self.config.zdraw_kernel
-        return mode != "xla" and jax.default_backend() == "tpu"
+        kpad = max(128, ((self.config.topics + 127) // 128) * 128)
+        return (mode != "xla" and jax.default_backend() == "tpu"
+                and kpad <= self._FUSED_ZDRAW_KPAD_MAX)
 
     def _zdraw_stream_theta(self) -> bool:
         """Stream theta d-windows from HBM when the whole [kpad, Dpad]

@@ -105,7 +105,13 @@ def blocked_label_counts(w_local, labels, win, first, *, nwin, vspan,
 
     Returns int32 [nwin * vspan, num_labels]; slice to the real id count.
     """
-    if jax.default_backend() == "tpu":
+    kpad = max(128, ((num_labels + 127) // 128) * 128)
+    # kpad gate (round 4): the kernel's per-block one-hot temps grow
+    # ~kpad*128*4 x a few on the Mosaic scoped-VMEM stack; at kpad=8192
+    # the remote compile helper crashes (the K=8192 matrix probe). Past
+    # 4096 — the largest measured-fused regime — fall back to the XLA
+    # scatter-add, which is label-count-agnostic.
+    if jax.default_backend() == "tpu" and kpad <= 4096:
         return _pallas_counts(w_local, labels, win, first, nwin=nwin,
                               vspan=vspan, num_labels=num_labels)
     return _xla_counts(w_local, labels, win, first, nwin=nwin, vspan=vspan,

@@ -198,3 +198,27 @@ def test_stream_builder_native_matches_numpy():
             np.testing.assert_array_equal(
                 getattr(a, name), getattr(b, name), err_msg=name)
         assert (a.nwin_w, a.nwin_d) == (b.nwin_w, b.nwin_d)
+
+
+def test_blocked_label_counts_kpad_gate(monkeypatch):
+    """num_labels past kpad=4096 must route to the XLA scatter-add even
+    when the backend reports TPU: the count kernel's one-hot temps grow
+    with kpad and the compile crashes the worker at kpad=8192 (round-4
+    probe). On this CPU test host the pallas path would fail to lower at
+    all, so a correct result here proves the gate took the XLA branch."""
+    import jax
+    from ldagroupedgibbssampler_tpu.ops import pallas_counts
+    monkeypatch.setattr(pallas_counts.jax, "default_backend",
+                        lambda: "tpu")
+    K = 4200  # kpad -> 4224 > 4096
+    c = _corpus(30, 120, seed=7)
+    cb = c.cell_blocks(block=256, vspan=128, dspan=128, chunk=128)
+    rng = np.random.default_rng(9)
+    z = rng.integers(0, K, cb.mask.shape).astype(np.int32)
+    nkw = np.asarray(blocked_label_counts(
+        jnp.asarray(cb.w_local), jnp.asarray(z), jnp.asarray(cb.win_w),
+        jnp.asarray(cb.first_w), nwin=cb.nwin_w, vspan=128, num_labels=K
+    ))[:120]
+    ref = np.zeros((120, K), np.int64)
+    np.add.at(ref, (c.tokens[cb.flat_index[cb.mask]], z[cb.mask]), 1)
+    assert np.array_equal(nkw.astype(np.int64), ref)

@@ -61,6 +61,20 @@ def test_fused_zdraw_gating_off_tpu():
     assert nkw.sum() == corpus.num_tokens
 
 
+def test_fused_zdraw_kpad_gate(monkeypatch):
+    """Past kpad=4096 the fused z-draw must NOT be selected even on TPU:
+    the kernel's per-chunk scoped-VMEM temps grow with kpad and the
+    compile crashes the remote worker at kpad=8192 (round-4 probe). The
+    gate falls back to the segmented XLA z-draw instead."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mk = lambda k: LDAGroupedGibbsSampler(
+        LDAConfig(scheme="ggs", topics=k, alpha=0.5, beta=0.1,
+                  iterations=1, seed=3, exec_time=-1))
+    assert mk(4096)._use_fused_zdraw()
+    assert not mk(4097)._use_fused_zdraw()
+    assert not mk(8192)._use_fused_zdraw()
+
+
 def test_zdraw_kernel_xla_forced():
     corpus = _rand_corpus(2)
     model = LDAGroupedGibbsSampler(
