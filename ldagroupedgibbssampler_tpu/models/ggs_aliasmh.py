@@ -31,11 +31,14 @@ updates whose per-token cost is O(1) *in K*:
 Each density/target evaluation costs ONE 8-byte row gather from packed
 [.,2] tables ((phi,N_kw) by w*K+k and (theta,n_dk) by d*K+k) — 7
 gathers/token/round, near the floor for a valid MH on this target.
-Measured (benchmarks/alias_mh_probe.py, v5e-1, 20NG shapes): the sweep
-runs ~15M tokens/s *independent of K* (K=1000..16384); full iterations
-at K=4096: ~9M tok/s (1 round) — above dense GGS's 8.1M and 2.6x the
-dense spalias row — with the theta/phi Dirichlet draws, not the z-draw,
-dominating at K >= 8192. Below K≈2000 the dense fused kernels win;
+Measured (benchmarks/alias_mh_probe.py + BENCH_MATRIX row 7e, v5e-1,
+20NG shapes): the sweep runs ~15M tokens/s *independent of K*
+(K=1000..16384); full iterations at K=4096: 7.53M tok/s (1 round-pair)
+— 2.15x the dense spalias row (3.52M), just under dense GGS (8.1M)
+whose cost keeps growing with K while this stays flat — with the
+theta/phi Dirichlet draws, not the z-draw, dominating at K >= 8192
+(where the dense fused kernels no longer compile and this scheme is
+the only sublinear path). Below K≈2000 the dense fused kernels win;
 this scheme is the LARGE-K option.
 
 Chain validity: each sweep is [theta | n_d] exact, [z | theta, phi] one
