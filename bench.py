@@ -69,7 +69,7 @@ def main():
     # fixed dispatch + readback latency that otherwise pollutes the number).
     import jax.numpy as jnp
 
-    def reps(n, k=3):
+    def reps(n, k):
         run = model._multi_step_fn(n)
         st = jax.tree.map(jnp.copy, model.state)
         st = run(st)                      # warmup (compile + execute)
@@ -82,13 +82,22 @@ def main():
             out.append(time.perf_counter() - t0)
         return out
 
-    # paired per-rep estimates -> a spread for the number of record
-    # (round-3 VERDICT item 6: the headline drifted ~3% across driver
-    # rounds with no variance statement; the spread is that statement)
-    t3, t1 = reps(3 * ITERS_MEASURED), reps(ITERS_MEASURED)
+    # The NUMBER OF RECORD is computed from MEDIANS of >= 5 timed
+    # repeats per arm: tokens / (median(t_3n) - median(t_n)).
+    # (Round-4 VERDICT item 2: a best-of-3 through the axon tunnel is
+    # not robust to the tunnel's occasional timing outlier — the
+    # round-4 driver capture recorded a best 35% above its own median,
+    # and a same-code rerun here showed a pairwise-estimate spread of
+    # 54% driven by a single anomalous t_n repeat. Medians of the raw
+    # times are immune to any 2-of-5 outliers.) best/spread over the
+    # per-pair estimates are kept as diagnostic fields only.
+    k = 5
+    t3, t1 = reps(3 * ITERS_MEASURED, k), reps(ITERS_MEASURED, k)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    tokens_per_sec = (corpus.num_tokens * 2 * ITERS_MEASURED
+                      / (med(t3) - med(t1)))
     tps = sorted(corpus.num_tokens * 2 * ITERS_MEASURED / (a - b)
                  for a, b in zip(t3, t1))
-    tokens_per_sec = tps[-1]              # best-of-3, as in prior rounds
     spread_pct = 100.0 * (tps[-1] - tps[0]) / tps[-1]
     print(json.dumps({
         "metric": "GGS tokens sampled/sec/chip (synthetic 20NG, K=100)",
@@ -96,8 +105,8 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_sec
                              / JAVA_GGS_TOKENS_PER_SEC_ESTIMATE, 3),
-        "median": round(tps[len(tps) // 2], 1),
-        "spread_pct": round(spread_pct, 1),
+        "best_pair": round(tps[-1], 1),
+        "pair_spread_pct": round(spread_pct, 1),
     }))
 
 

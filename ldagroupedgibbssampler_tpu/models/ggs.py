@@ -85,10 +85,12 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
         # flat per-token (type, doc) arrays exist only for the XLA-fallback
         # z-draw and the CPU n_dk scatter — 8 bytes/slot that the fused TPU
         # path never reads (~7 GB at PubMed scale)
-        if not self._use_fused_zdraw():
+        if self._needs_xla_zdraw_arrays():
             w_glob = (np.minimum(blocks.w_local, vspan - 1)
                       + blocks.win_w[:, None] * vspan).reshape(-1)
             self.wg = jnp.asarray(w_glob.astype(np.int32))
+        if self._needs_xla_zdraw_arrays() or jax.default_backend() != "tpu":
+            # df also feeds the CPU-backend n_dk scatter (_count_ndk)
             self.df = jnp.asarray(blocks.doc_ids.reshape(-1))
         self.winb = jnp.asarray(blocks.win_w)
         self.firstb = jnp.asarray(blocks.first_w)
@@ -110,6 +112,13 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
     # Past ~4096 topics the dense path is not competitive anyway: use
     # scheme `ggs_aliasmh` (O(1)-per-token draws, BENCH_MATRIX 7e/7f).
     _FUSED_ZDRAW_KPAD_MAX = 4096
+
+    def _needs_xla_zdraw_arrays(self) -> bool:
+        """Whether the flat per-slot (w, d) arrays backing the segmented
+        XLA-fallback z-draw must exist. Subclasses that replace the
+        z-draw entirely (ggs_aliasmh) override to False — at PubMed
+        scale the arrays are ~7 GB the MH path never reads."""
+        return not self._use_fused_zdraw()
 
     def _use_fused_zdraw(self) -> bool:
         mode = self.config.zdraw_kernel

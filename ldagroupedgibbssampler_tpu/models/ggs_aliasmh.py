@@ -18,8 +18,15 @@ updates whose per-token cost is O(1) *in K*:
       count-based word proposal (LightPCLDAtypeTopicProposal.java:23-53)
   doc step:   propose k* = z_entry[uniform token of doc d_t] with prob
       L_d/(L_d + alpha_sum), else uniform — q_d(k) =
-      (n_dk^entry + alpha) / (L_d + alpha_sum), the reference's doc
-      proposal (LightPCLDA.java doc bucket)
+      (n_dk^entry + alpha_sum/K) / (L_d + alpha_sum). The fallback
+      branch is uniform over K, so its per-topic density is
+      alpha_sum/K regardless of the alpha vector — using that (not
+      alpha_k) in the acceptance ratio keeps the MH step exact under
+      ASYMMETRIC alpha too (learned via hyperopt), where the
+      reference's LightPCLDA doc bucket instead draws the fallback
+      proportional to alpha_k. Both are valid MH kernels for the same
+      target; ours avoids a per-token alias draw over alpha.
+      Locked by tests/test_geweke.py::test_geweke_ggs_aliasmh_asym_alpha.
   accept with min(1, p(k*) q(z) / (p(z) q(k*))) — a valid MH kernel per
   token; tokens are conditionally independent given (theta, phi) in the
   GROUPED sampler, so every token's chain runs fully in parallel as
@@ -59,16 +66,28 @@ from ldagroupedgibbssampler_tpu.models.ggs import LDAGroupedGibbsSampler
 
 _TINY = 1e-38
 
+# "auto" packing budget: extra device bytes the packed [.,2] f32 tables
+# may cost (8*(V*K + D*K)) before the scheme switches to unpacked
+# gathers straight out of state.phi/theta/nkw/ndk (zero extra memory,
+# one more gather per density eval). 4 GiB keeps 20NG-scale K=8192
+# (~2.05 GB extra) on the measured-faster packed path; at D=1M,
+# K=8192 the packed tables alone would be ~73 GB — far past HBM —
+# and the gate flips to unpacked.
+_ALIASMH_PACK_BYTES = 4 << 30
 
-def alias_mh_rounds(key, z, wK, dK, wk_pack, dk_pack, upd_ok,
+
+def alias_mh_rounds(key, z, gather_w, gather_d, upd_ok,
                     p_tok_w, p_tok_d, pick_doc, pick_ty,
                     doc_len_tok, ty_cnt_tok, num_topics, rounds):
     """`rounds` alternating word/doc MH rounds over all tokens at once.
 
     z: int32 [S] current assignments over (padded) token slots.
-    wK/dK: precomputed w*K / d*K flat-index bases per slot.
-    wk_pack: f32 [V*K, 2] rows (phi[k,w], N_kw^entry[w,k]);
-    dk_pack: f32 [D*K, 2] rows (theta[d,k], n_dk^entry[d,k]).
+    gather_w(k) -> (phi[k, w_t], qw(k)) and gather_d(k) ->
+        (theta[d_t, k], qd(k)): per-slot density gathers at topic k —
+        qw(k) = N_kw^entry + beta, qd(k) = n_dk^entry + alpha_sum/K
+        (the unnormalised proposal densities; per-token normalisers
+        cancel in the ratio). One packed 8-byte row gather each in the
+        packed layout, two 4-byte gathers in the unpacked one.
     upd_ok: bool [S] — padding slots and random-scan-unselected docs
         keep z (their chains simply don't move this sweep).
     p_tok_w/p_tok_d: per-slot mixture probabilities n_w/(n_w+K beta) and
@@ -82,55 +101,52 @@ def alias_mh_rounds(key, z, wK, dK, wk_pack, dk_pack, upd_ok,
     n = z.shape[0]
 
     # current-point target and proposal densities, CARRIED across steps
-    # so only the proposed point costs gathers (wk_pack[:,1] already
-    # holds N_kw+beta and dk_pack[:,1] n_dk+alpha — the unnormalised
-    # q densities; normalisers are per-token constants and cancel)
-    wk0 = wk_pack[wK + z]
-    dk0 = dk_pack[dK + z]
-    t_cur, qw_cur, qd_cur = dk0[:, 0] * wk0[:, 0], wk0[:, 1], dk0[:, 1]
+    # so only the proposed point costs gathers
+    ph0, qw_cur = gather_w(z)
+    th0, qd_cur = gather_d(z)
+    t_cur = th0 * ph0
+    # in-type/in-doc positions are exact integer draws (randint with
+    # per-token bounds) — a scaled-f32-uniform cast can't represent all
+    # positions once a type's count exceeds 2^24, biasing the entry pick
+    ty_hi = jnp.maximum(ty_cnt_tok, 1)
+    doc_hi = jnp.maximum(doc_len_tok, 1)
 
     def one_round(carry, kr):
         zz, t_c, qw_c, qd_c = carry
         ks = jax.random.split(kr, 8)
         # ---- word step
-        r = jax.random.uniform(ks[1], (n,))
-        pos = jnp.minimum((r * ty_cnt_tok).astype(jnp.int32),
-                          jnp.maximum(ty_cnt_tok, 1) - 1)
+        pos = jax.random.randint(ks[1], (n,), 0, ty_hi, jnp.int32)
         k_tok = pick_ty(pos)
         k_unif = jax.random.randint(ks[2], (n,), 0, num_topics, jnp.int32)
         kprop = jnp.where(jax.random.uniform(ks[0], (n,)) < p_tok_w,
                           k_tok, k_unif)
-        wkn = wk_pack[wK + kprop]
-        dkn = dk_pack[dK + kprop]
-        t_new = dkn[:, 0] * wkn[:, 0]
-        q_new = wkn[:, 1]
+        phn, q_new = gather_w(kprop)
+        thn, qdn = gather_d(kprop)
+        t_new = thn * phn
         acc = upd_ok & ((jax.random.uniform(ks[3], (n,))
                          * jnp.maximum(t_c * q_new, _TINY))
                         < t_new * qw_c)
         zz = jnp.where(acc, kprop, zz)
         t_c = jnp.where(acc, t_new, t_c)
         qw_c = jnp.where(acc, q_new, qw_c)
-        qd_c = jnp.where(acc, dkn[:, 1], qd_c)
+        qd_c = jnp.where(acc, qdn, qd_c)
         # ---- doc step
-        r2 = jax.random.uniform(ks[5], (n,))
-        pos2 = jnp.minimum((r2 * doc_len_tok).astype(jnp.int32),
-                           jnp.maximum(doc_len_tok, 1) - 1)
+        pos2 = jax.random.randint(ks[5], (n,), 0, doc_hi, jnp.int32)
         k_tok2 = pick_doc(pos2)
         k_unif2 = jax.random.randint(ks[6], (n,), 0, num_topics,
                                      jnp.int32)
         kprop2 = jnp.where(jax.random.uniform(ks[4], (n,)) < p_tok_d,
                            k_tok2, k_unif2)
-        wkn2 = wk_pack[wK + kprop2]
-        dkn2 = dk_pack[dK + kprop2]
-        t_new2 = dkn2[:, 0] * wkn2[:, 0]
-        q2_new = dkn2[:, 1]
+        phn2, qwn2 = gather_w(kprop2)
+        thn2, q2_new = gather_d(kprop2)
+        t_new2 = thn2 * phn2
         acc2 = upd_ok & ((jax.random.uniform(ks[7], (n,))
                           * jnp.maximum(t_c * q2_new, _TINY))
                          < t_new2 * qd_c)
         zz = jnp.where(acc2, kprop2, zz)
         t_c = jnp.where(acc2, t_new2, t_c)
         qd_c = jnp.where(acc2, q2_new, qd_c)
-        qw_c = jnp.where(acc2, wkn2[:, 1], qw_c)
+        qw_c = jnp.where(acc2, qwn2, qw_c)
         sel = upd_ok.astype(jnp.float32)
         den = jnp.maximum(jnp.sum(sel), 1.0)
         return (zz, t_c, qw_c, qd_c), (
@@ -147,9 +163,23 @@ class LDAGroupedGibbsSamplerAliasMH(LDAGroupedGibbsSampler):
     """GGS with the O(1)-per-token alias-MH z-step (module docstring)."""
 
     def _use_fused_zdraw(self) -> bool:
-        # the MH step IS the z-draw; flat per-slot (w, d) arrays and the
+        # the MH step IS the z-draw; canonical token arrays and the
         # windowed count kernels do the rest
         return False
+
+    def _needs_xla_zdraw_arrays(self) -> bool:
+        # the segmented XLA z-draw never runs here — skip its ~8
+        # bytes/slot flat (w, d) arrays (the CPU backend still gets df
+        # for the n_dk scatter via the base-class gate)
+        return False
+
+    def _mh_packed(self) -> bool:
+        mode = self.config.aliasmh_packed
+        if mode in ("packed", "unpacked"):
+            return mode == "packed"
+        extra = 8 * self.config.topics * (self.corpus.num_types
+                                          + self.corpus.num_docs)
+        return extra <= _ALIASMH_PACK_BYTES
 
     def _prepare_device_data(self, corpus):
         super()._prepare_device_data(corpus)
@@ -193,21 +223,54 @@ class LDAGroupedGibbsSamplerAliasMH(LDAGroupedGibbsSampler):
         theta = self._theta_update(k_theta, state, doc_mask)
 
         # (2) alias-MH z rounds (all tokens in parallel, bulk XLA, over
-        # the canonical unpadded token axis)
-        nkw_vk = state.nkw.astype(jnp.float32)             # [V, K]
-        wk_pack = jnp.stack(
-            [state.phi.reshape(-1), nkw_vk.reshape(-1) + state.beta],
-            axis=1)
-        dk_pack = jnp.stack(
-            [theta.reshape(-1),
-             (state.ndk.astype(jnp.float32)
-              + state.alpha[None, :]).reshape(-1)], axis=1)
+        # the canonical unpadded token axis). The doc proposal density
+        # is n_dk + a_sum/K — the uniform fallback's true per-topic
+        # mass for ANY alpha vector (advisor round-4 medium: using
+        # alpha_k here silently de-targets the chain under hyperopt's
+        # asymmetric alpha).
+        a_sum = jnp.sum(state.alpha)
+        au = a_sum / K
         wK = self._mh_w * K
         dK = self._mh_d * K
+        if self._mh_packed():
+            # packed [., 2] f32 rows: one 8-byte gather per density eval
+            nkw_vk = state.nkw.astype(jnp.float32)         # [V, K]
+            wk_pack = jnp.stack(
+                [state.phi.reshape(-1), nkw_vk.reshape(-1) + state.beta],
+                axis=1)
+            dk_pack = jnp.stack(
+                [theta.reshape(-1),
+                 state.ndk.astype(jnp.float32).reshape(-1) + au], axis=1)
+
+            def gather_w(k):
+                r = wk_pack[wK + k]
+                return r[:, 0], r[:, 1]
+
+            def gather_d(k):
+                r = dk_pack[dK + k]
+                return r[:, 0], r[:, 1]
+        else:
+            # unpacked: gather straight out of the state arrays (int32
+            # counts cast after the gather) — zero extra device memory,
+            # for the D*K/V*K ranges where packing would not fit
+            phi_f = state.phi.reshape(-1)
+            nkw_f = state.nkw.reshape(-1)
+            th_f = theta.reshape(-1)
+            ndk_f = state.ndk.reshape(-1)
+
+            def gather_w(k):
+                i = wK + k
+                return phi_f[i], nkw_f[i].astype(jnp.float32) + state.beta
+
+            def gather_d(k):
+                i = dK + k
+                return th_f[i], ndk_f[i].astype(jnp.float32) + au
         upd_ok = (jnp.ones(self._mh_w.shape, bool) if doc_mask is None
                   else doc_mask[self._mh_d])
-        a_sum = jnp.sum(state.alpha)
         kb = K * state.beta
+        # f32 mixture weights: exact for counts < 2^24 (the entry-pick
+        # positions themselves are exact randint draws; only these
+        # scalar mixture probabilities round, by <6e-8 relative)
         ld = self._mh_doc_len.astype(jnp.float32)
         cw = self._mh_ty_cnt.astype(jnp.float32)
         z_can = state.z[self._mh_slot_of_can]
@@ -216,7 +279,7 @@ class LDAGroupedGibbsSamplerAliasMH(LDAGroupedGibbsSampler):
         z_entry_doc = z_can                       # canonical IS doc-major
         z_entry_ty = z_can[self._mh_ty_perm]
         z_can, _accs = alias_mh_rounds(
-            k_z, z_can, wK, dK, wk_pack, dk_pack, upd_ok,
+            k_z, z_can, gather_w, gather_d, upd_ok,
             cw / (cw + kb), ld / (ld + a_sum),
             lambda pos: z_entry_doc[self._mh_doc_base + pos],
             lambda pos: z_entry_ty[self._mh_ty_base + pos],

@@ -157,9 +157,16 @@ def conditional_dirichlet(key: jax.Array, previous, concentration, mask):
 
     conc_sub_sum = jnp.sum(jnp.where(mask, conc, 0.0), axis=-1, keepdims=True)
     conc_keep_sum = jnp.sum(jnp.where(mask, 0.0, conc), axis=-1, keepdims=True)
-    # Mass assigned to the redrawn block.
+    # Mass assigned to the redrawn block. Clamped away from {0, 1}: with
+    # a tiny keep-block concentration (e.g. the unsmoothed 1e-7 conc of
+    # scheme `uncollapsed`) the f32 Beta draw rounds to exactly 1.0 and
+    # kept entries would become previous*(1-b) = 0 — losing the
+    # positive support the fused kernels' lastnz skip relies on
+    # (advisor round-4). The 1e-7 clamp is below the f32 Beta draw's
+    # own granularity, so the distribution is unchanged in practice.
     b = beta(k_beta, jnp.maximum(conc_sub_sum, 1e-6),
              jnp.maximum(conc_keep_sum, 1e-6))
+    b = jnp.clip(b, 1e-7, 1.0 - 1e-7)
     # Fresh Dirichlet over the masked block (masked-out coords get ~0 weight).
     g = _gamma_marsaglia(k_sub, jnp.where(mask, conc, 1.0))
     g = jnp.where(mask, jnp.maximum(g, DIRICHLET_FLOOR), 0.0)

@@ -64,6 +64,19 @@ def test_extended_schemes_learn(scheme, synthetic_corpus):
     assert purity.mean() > 0.6, (scheme, purity)
 
 
+def test_aliasmh_packed_unpacked_identical(synthetic_corpus):
+    """ggs_aliasmh's two table layouts (packed [.,2] f32 rows vs direct
+    gathers from state arrays) are the same chain bit-for-bit: the
+    unpacked path exists purely to drop the 8*(VK+DK)-byte packed
+    tables at large D*K (advisor round-4)."""
+    zs = []
+    for mode in ("packed", "unpacked"):
+        m = _run("ggs_aliasmh", synthetic_corpus, iterations=5,
+                 aliasmh_packed=mode)
+        zs.append(m.get_z_indicators())
+    np.testing.assert_array_equal(zs[0], zs[1])
+
+
 def test_hdp_activates_topics(synthetic_corpus):
     """HDP grows from hdp_start_topics toward the 3 planted topics."""
     cfg = LDAConfig(scheme="ppu_hdplda_all_topics", topics=10, alpha=1.0,
