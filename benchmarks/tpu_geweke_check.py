@@ -149,7 +149,15 @@ def main(argv=None):
                       5.0))
     for name, scheme, precise, cols, fkt, zmax in modes:
         t0 = time.time()
-        sc = sc_series(args.steps, args.burn, seed=402, precise=precise,
+        # pcgs_ktiled gets its OWN seed: with seed=402 it replayed the
+        # pcgs_fused chain bit-for-bit over 1200 on-chip sweeps (round-4
+        # ONCHIP_GEWEKE rows identical to 15+ digits) — strong equality
+        # evidence, but presented as an independent statistical chain it
+        # overstated the artifact. Now the bit-equality claim lives in
+        # tests/test_fused_integration.py::test_ktiled_body_equals_untiled
+        # and this row is a genuinely independent chain.
+        seed = 403 if name == "pcgs_ktiled" else 402
+        sc = sc_series(args.steps, args.burn, seed=seed, precise=precise,
                        scheme=scheme, force_ktile=fkt)
         rows = {}
         for i in cols:

@@ -533,7 +533,12 @@ def test_geweke_hdp_dynamic_birth_death():
     (SC ~0.75-0.77 vs MC ~0.53). The reference has the same dynamics —
     this test pins the deviation's direction and size so a birth/death
     regression (e.g. births stopping entirely, or death of non-empty
-    topics) is caught."""
+    topics) is caught. The mathematical pieces this chain composes are
+    validated with EXACT-agreement criteria in
+    test_hdp_sample_table_counts_antoniak_exact (sampleL) and
+    test_hdp_gem_psi_exact / test_hdp_poisson_psi_exact (psi
+    conditionals) below — the pinned deviation here is the birth/death
+    *policy*, not those pieces."""
     mc = _hdp_mc_draws(4000, 601)
     sc = _hdp_sc_series("ppu_hdplda", steps=2000, burn=200, seed=602)
     for i, zmax in ((0, 5.0), (2, 5.0)):        # phi00, frac_w0 agree
@@ -556,7 +561,10 @@ def test_geweke_hlda_dynamic_contiguous_growth():
     token share sit far BELOW the size-ordered GEM ancestral draw
     (measured: psi0 SC ~0.19 vs MC ~0.53, z ~ +11; frac_z0 SC ~0.18,
     z ~ +10), with occupancy mildly ABOVE (z ~ -3.5). Direction and
-    size pinned as the documented deviation."""
+    size pinned as the documented deviation. The composed pieces
+    (sampleL with concentration gamma, Poisson psi) are validated
+    exactly in test_hdp_sample_table_counts_antoniak_exact and
+    test_hdp_poisson_psi_exact below."""
     mc = _hdp_mc_draws(4000, 601)
     sc = _hdp_sc_series("ppu_hlda", steps=2000, burn=200, seed=602)
     z_w0 = _geweke_z(mc[:, 2], sc[:, 2])
@@ -585,3 +593,264 @@ def test_geweke_ggs_aliasmh():
     mc = _mc_draws(4000, seed=601)
     sc = _sc_series("ggs_aliasmh", steps=2600, burn=200, seed=602)
     _agree(mc, sc, [0, 1, 2, 3], "ggs_aliasmh")
+
+
+# ----------------------------------------------------------------------
+# Fixed-dimension HDP piece validation (round-4 VERDICT item 5): the
+# dynamic-K chains above pin large birth/death deviations; these tests
+# validate the two mathematical pieces those chains are built from —
+# the Antoniak table draws (sampleL) and the psi conditionals — in
+# ISOLATION, with exact agreement as the pass criterion.
+# ----------------------------------------------------------------------
+
+def _stirling_unsigned(n):
+    """Unsigned Stirling numbers of the first kind S[m][l], m,l <= n."""
+    S = np.zeros((n + 1, n + 1))
+    S[0, 0] = 1.0
+    for m in range(1, n + 1):
+        for l in range(1, m + 1):
+            S[m, l] = S[m - 1, l - 1] + (m - 1) * S[m - 1, l]
+    return S
+
+
+def _antoniak_pmf(n, a):
+    """P(L = l | n customers, concentration a) = S(n,l) a^l / (a)_n."""
+    S = _stirling_unsigned(n)
+    ls = np.arange(n + 1)
+    rising = np.prod(a + np.arange(n))
+    pmf = S[n] * a ** ls / rising
+    return pmf / pmf.sum()
+
+
+def test_hdp_sample_table_counts_antoniak_exact():
+    """`sample_table_counts` (models/hdp.py — the [K, M] >=j-histogram
+    binomial aggregation of DocTopicTokenFreqTable + sampleL,
+    PoissonPolyaUrnHDPLDA.java:1112-1160) draws EXACT Antoniak table
+    counts: (1) single doc vs the analytic Antoniak pmf (unsigned
+    Stirling numbers) by chi-square; (2) multi-doc aggregation vs an
+    independent numpy per-doc sequential-Bernoulli CRP simulation
+    (the reference's own per-doc construction) by moment z-tests and
+    KS. Exact agreement required — no pinned deviations."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldagroupedgibbssampler_tpu.models.hdp import sample_table_counts
+
+    # --- (1) single doc, n = 6 customers, a = 0.7
+    n_cust, a = 6, 0.7
+    ndk1 = jnp.asarray([[n_cust]], jnp.int32)
+    keys = jax.random.split(jax.random.key(11), 20000)
+    draws1 = np.asarray(jax.vmap(
+        lambda k: sample_table_counts(k, ndk1, jnp.asarray([a]), n_cust)
+    )(keys))[:, 0]
+    pmf = _antoniak_pmf(n_cust, a)
+    obs = np.bincount(draws1.astype(int), minlength=n_cust + 1).astype(
+        float)
+    exp = pmf * len(draws1)
+    keep = exp > 5
+    chi2 = float(((obs[keep] - exp[keep]) ** 2 / exp[keep]).sum())
+    df = int(keep.sum()) - 1
+    p = 1.0 - sps.chi2.cdf(chi2, df)
+    assert p > 1e-4, (chi2, df, p, obs, exp)
+
+    # --- (2) multi-doc aggregation, K = 3 topics, 40 docs
+    rng = np.random.default_rng(7)
+    ndk = rng.integers(0, 7, size=(40, 3)).astype(np.int32)
+    avec = np.array([0.4, 1.3, 2.5], np.float32)
+    m = int(ndk.max())
+    keys = jax.random.split(jax.random.key(12), 8000)
+    ours = np.asarray(jax.vmap(
+        lambda k: sample_table_counts(k, jnp.asarray(ndk),
+                                      jnp.asarray(avec), m))(keys))
+
+    # independent per-doc sequential CRP: l_dk = sum_j Bern(a/(a+j-1))
+    nref = 8000
+    ref = np.zeros((nref, 3))
+    for t in range(3):
+        aa = float(avec[t])
+        counts = ndk[:, t]
+        # total Bernoulli trials per j-level: #docs with count >= j
+        ge = np.array([(counts >= j).sum() for j in range(1, m + 1)])
+        ps = aa / (aa + np.arange(m))            # j = 1..m -> a/(a+j-1)
+        ref[:, t] = sum(rng.binomial(int(g), p, size=nref)
+                        for g, p in zip(ge, ps))
+    for t in range(3):
+        zm = ((ours[:, t].mean() - ref[:, t].mean())
+              / np.sqrt(ours[:, t].var() / len(ours)
+                        + ref[:, t].var() / nref))
+        assert abs(zm) < 5.0, (t, zm)
+        ks = sps.ks_2samp(ours[:, t], ref[:, t]).pvalue
+        assert ks > 1e-4, (t, ks)
+
+
+def test_hdp_gem_psi_exact():
+    """`gem_psi` (models/hdp.py — GEMBasedPsiSampler,
+    PoissonPolyaUrnHDPLDA.java:402-500) matches an independent numpy
+    implementation of the stick-breaking posterior nu_k ~ Beta(1 + l_k,
+    gamma + sum_{j>k} l_j), psi = normalised sticks: per-component mean
+    z-tests + KS on psi_0 and psi_{K-1}. Exact agreement required —
+    index/cumsum bugs (reversed rest sums, off-by-one stick products)
+    are exactly what this flags."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldagroupedgibbssampler_tpu.models.hdp import gem_psi
+
+    tables = np.array([9.0, 0.0, 4.0, 1.0], np.float32)
+    gamma = 1.3
+    keys = jax.random.split(jax.random.key(21), 20000)
+    ours = np.asarray(jax.vmap(
+        lambda k: gem_psi(k, jnp.asarray(tables), gamma))(keys))
+
+    rng = np.random.default_rng(22)
+    nref = 20000
+    rest = np.concatenate([np.cumsum(tables[::-1])[::-1][1:], [0.0]])
+    b = rng.beta(1.0 + tables, gamma + rest, size=(nref, 4))
+    b = np.clip(b, 1e-7, 1 - 1e-7)
+    sticks = b * np.concatenate(
+        [np.ones((nref, 1)), np.cumprod(1 - b, axis=1)[:, :-1]], axis=1)
+    ref = sticks / sticks.sum(axis=1, keepdims=True)
+
+    for t in range(4):
+        zm = ((ours[:, t].mean() - ref[:, t].mean())
+              / np.sqrt(ours[:, t].var() / len(ours)
+                        + ref[:, t].var() / nref))
+        assert abs(zm) < 5.0, (t, zm, ours[:, t].mean(), ref[:, t].mean())
+    for t in (0, 3):
+        ks = sps.ks_2samp(ours[:, t], ref[:, t]).pvalue
+        assert ks > 1e-4, (t, ks)
+
+
+def test_hdp_poisson_psi_exact():
+    """`poisson_psi` (models/hdp.py — PoissonBasedPsiSampler,
+    PoissonPolyaUrnHDPLDA.java:342-400) matches an independent numpy
+    implementation (eta_k ~ Poisson(l_k) + birth increments,
+    normalised): per-component mean z-tests + KS. Exact agreement
+    required."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldagroupedgibbssampler_tpu.models.hdp import poisson_psi
+
+    tables = np.array([6.0, 0.0, 2.0], np.float32)
+    births = np.array([0, 1, 0], np.int32)
+    keys = jax.random.split(jax.random.key(31), 20000)
+    ours = np.asarray(jax.vmap(
+        lambda k: poisson_psi(k, jnp.asarray(tables),
+                              jnp.asarray(births, jnp.float32)))(keys))
+
+    rng = np.random.default_rng(32)
+    nref = 20000
+    eta = rng.poisson(tables, size=(nref, 3)) + births[None, :]
+    tot = eta.sum(axis=1, keepdims=True)
+    ref = np.where(tot > 0, eta / np.maximum(tot, 1.0), 1.0 / 3)
+
+    for t in range(3):
+        zm = ((ours[:, t].mean() - ref[:, t].mean())
+              / np.sqrt(ours[:, t].var() / len(ours)
+                        + ref[:, t].var() / nref))
+        assert abs(zm) < 5.0, (t, zm)
+        # psi here is a ratio of small integers — quantise both samples
+        # to a common grid so f32-vs-f64 atom positions (0.66666669 vs
+        # 0.66666667) don't register as a spurious KS jump
+        ks = sps.ks_2samp(np.round(ours[:, t].astype(np.float64), 4),
+                          np.round(ref[:, t].astype(np.float64),
+                                   4)).pvalue
+        assert ks > 1e-4, (t, ks)
+
+
+# ----------------------------------------------------------------------
+# Asymmetric-alpha Geweke for ggs_aliasmh (advisor round-4 medium): the
+# symmetric-alpha run above cannot distinguish the uniform-fallback doc
+# proposal's true density (n_dk + alpha_sum/K) from the buggy per-topic
+# alpha_k — under a symmetric alpha they coincide. These runs use
+# alpha = [0.3, 1.5].
+# ----------------------------------------------------------------------
+
+ALPHA_VEC = np.array([0.3, 1.5])
+
+
+def _mc_draws_asym(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        phi = rng.dirichlet(np.full(V, BETA), K)
+        theta = rng.dirichlet(ALPHA_VEC, D)
+        z = np.array([rng.choice(K, p=theta[d]) for d in range(D)
+                      for _ in range(L)])
+        w = np.array([rng.choice(V, p=phi[k]) for k in z])
+        out.append(_stats(theta[0, 0], phi[0, 0], z, w))
+    return np.array(out)
+
+
+def _sc_series_asym(steps, burn, seed, buggy=False):
+    """SC chain of ggs_aliasmh with state.alpha = ALPHA_VEC. With
+    `buggy=True` the doc-proposal density is patched back to the
+    advisor-flagged n_dk + alpha_k form (the proposal itself still
+    falls back uniformly) — the negative control proving this test
+    rejects that bug."""
+    import jax.numpy as jnp
+
+    from ldagroupedgibbssampler_tpu.models import ggs_aliasmh as gam
+
+    rng = np.random.default_rng(seed)
+    phi0 = rng.dirichlet(np.full(V, BETA), K)
+    theta0 = rng.dirichlet(ALPHA_VEC, D)
+    z = np.array([rng.choice(K, p=theta0[d]) for d in range(D)
+                  for _ in range(L)]).astype(np.int32)
+    w = np.array([rng.choice(V, p=phi0[k]) for k in z], np.int32)
+    m = create_model(LDAConfig(scheme="ggs_aliasmh", topics=K,
+                               alpha=float(ALPHA_VEC.mean()), beta=BETA,
+                               seed=seed, exec_time=-1))
+    m.add_instances(_corpus(w))
+    m.set_z_indicators(z)
+    m.state = m.state._replace(alpha=jnp.asarray(ALPHA_VEC, jnp.float32))
+
+    orig = gam.alias_mh_rounds
+    if buggy:
+        a_corr = jnp.asarray(ALPHA_VEC - ALPHA_VEC.sum() / K, jnp.float32)
+
+        def patched(key, zz, gw, gd, *rest):
+            def gd2(k):
+                t, q = gd(k)
+                return t, q + a_corr[k]
+            return orig(key, zz, gw, gd2, *rest)
+        gam.alias_mh_rounds = patched
+    try:
+        out = []
+        for s in range(steps):
+            m.sample(1)
+            z = m.get_z_indicators()
+            phi = m.get_phi()[:K]
+            theta00 = float(np.asarray(m.state.theta)[0, 0])
+            if s >= burn:
+                out.append(_stats(theta00, phi[0, 0], z, w))
+            w = _resample_w(rng, phi, z)
+            m.swap_corpus_tokens(_corpus(w))
+    finally:
+        gam.alias_mh_rounds = orig
+    return np.array(out)
+
+
+def test_geweke_ggs_aliasmh_asym_alpha():
+    """ggs_aliasmh under ASYMMETRIC alpha = [0.3, 1.5]: the MH
+    acceptance's doc-proposal density must be the uniform fallback's
+    true per-topic mass alpha_sum/K for the chain to stay exact
+    (models/ggs_aliasmh.py gather_d). Calibrated run: max |z| ~ 2.6
+    across the four statistics for the correct density."""
+    mc = _mc_draws_asym(4000, seed=811)
+    sc = _sc_series_asym(steps=2600, burn=200, seed=812)
+    _agree(mc, sc, [0, 1, 2, 3], "ggs_aliasmh_asym")
+
+
+def test_geweke_ggs_aliasmh_asym_alpha_negative_control():
+    """Power check: re-creating the advisor-flagged bug (density
+    n_dk + alpha_k against the uniform fallback) must FAIL the same
+    Geweke — calibrated z ~ -14 on frac_z0 and ~ -6 on theta00. Proves
+    the asym test above can actually detect this bug class."""
+    mc = _mc_draws_asym(4000, seed=811)
+    sc = _sc_series_asym(steps=2600, burn=200, seed=813, buggy=True)
+    z_frac = _geweke_z(mc[:, 2], sc[:, 2])
+    z_th = _geweke_z(mc[:, 0], sc[:, 0])
+    assert z_frac < -8.0, z_frac
+    assert z_th < -3.5, z_th
