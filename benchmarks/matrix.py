@@ -491,12 +491,33 @@ def main(argv=None):
                 "ll_rel_gap_200": round(abs(ll_mh200 - ll_gg200)
                                         / abs(ll_gg200), 4)}
 
-    # (No 7f K=8192 matrix row: the K=8192 full-iteration pair was probed
-    # in round 4 and crashes the TPU worker under HBM pressure — the
-    # regime's numbers of record are the alias_mh_probe.py sweep results
-    # in PERF.md ("Large-K" section: aliasmh sweep flat ~15M tok/s through
-    # K=16384; dense fused kernels are kpad-gated to <= 4096 and fall back
-    # to the segmented XLA z-draw past that).
+    # 7f. K=8192 end-to-end (round-4 VERDICT item 3): full iterations in
+    #     the regime ggs_aliasmh uniquely owns, plus what the dense path
+    #     actually does there (kpad-gated -> segmented XLA fallback).
+    #     Each arm runs in a SUBPROCESS (benchmarks/k8192_row.py):
+    #     round 4's in-process pair crashed the TPU worker under
+    #     combined HBM high-water; isolation bounds each arm's footprint.
+    if want("7f_ggs_aliasmh_20ng_k8192"):
+        with row_guard(report, args.out, "7f_ggs_aliasmh_20ng_k8192"):
+            import subprocess
+            import sys as _sys
+            import tempfile
+            row7f = {}
+            for arm in ("aliasmh", "dense"):
+                with tempfile.NamedTemporaryFile(suffix=".json",
+                                                 delete=False) as tf:
+                    frag = tf.name
+                r = subprocess.run(
+                    [_sys.executable, "benchmarks/k8192_row.py",
+                     "--arm", arm, "--out", frag],
+                    capture_output=True, text=True, timeout=4800)
+                if r.returncode != 0:
+                    row7f[arm + "_error"] = (r.stderr or r.stdout)[-400:]
+                else:
+                    with open(frag) as f:
+                        row7f.update(json.load(f))
+            assert "tokens_per_sec" in row7f, row7f
+            report["results"]["7f_ggs_aliasmh_20ng_k8192"] = row7f
 
     # 8c. ADLDA staleness-contract check at realistic K/V (round-1 weak
     #     item 6): the sweep-stale fused ADLDA's model-LL trajectory must

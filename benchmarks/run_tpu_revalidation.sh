@@ -33,7 +33,8 @@ TPU_KEYS="1_cgs_cats 2_pcgs_20ng_k20 2d_pcgs_nyt_k100 3_ggs_20ng_k100 \
 5_ggs_20ng_k1000 \
 5b_ggs_20ng_k4096 6_ggs_nyt_k100 7_spalias_20ng_k100 \
 7c_spalias_20ng_k1000 7d_spalias_20ng_k4096 \
-7e_ggs_aliasmh_20ng_k4096 8_adlda_20ng_k100 \
+7e_ggs_aliasmh_20ng_k4096 7f_ggs_aliasmh_20ng_k8192 \
+8_adlda_20ng_k100 \
 8c_adlda_vs_pcgs_ll_20ng 8d_adlda_20ng_k4096 9_lightpclda_20ng_k1000 \
 9b_lightpclda_20ng_k100 9c_lightpclda_20ng_k4096 10_ppu_hdplda_20ng"
 # Rows that need a multi-device mesh (8-virtual-CPU when one real chip).

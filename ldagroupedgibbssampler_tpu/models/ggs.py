@@ -266,9 +266,17 @@ class LDAGroupedGibbsSampler(TpuLDASampler):
                 dfi, wgi, ui = args
                 rows = ext[dfi]                      # [L, K+1]
                 probs = rows[:, :num_topics] * phi_pad[wgi]
-                cdf = jax.lax.dot(probs, tri,
-                                  precision=jax.lax.Precision.HIGHEST,
-                                  preferred_element_type=jnp.float32)
+                if num_topics > 512:
+                    # the [L, K] x [K, K] tril matmul is Theta(K^2) per
+                    # token — ~45 TFLOP/iter at 20NG K=4096 (~4 s/iter
+                    # measured, round 5). The associative-scan cumsum is
+                    # bandwidth-bound instead: same inverse-CDF draw,
+                    # measured ~5x faster at K=4096.
+                    cdf = jnp.cumsum(probs, axis=-1)
+                else:
+                    cdf = jax.lax.dot(probs, tri,
+                                      precision=jax.lax.Precision.HIGHEST,
+                                      preferred_element_type=jnp.float32)
                 u = ui[:, None] * cdf[:, -1:]
                 zn = jnp.minimum(
                     jnp.sum((cdf <= u).astype(jnp.int32), axis=-1),
