@@ -62,7 +62,7 @@ EOF
 
 # 1+2. on-chip kernel checks via the pytest -m tpu target (one command;
 # includes the X,Y,X window-reuse hazard schedule)
-run tpu_pytest env LDA_TPU_TESTS=1 python -m pytest -m tpu tests/test_tpu_kernels.py -v
+run tpu_pytest env LDA_TPU_TESTS=1 python -m pytest -m tpu -n 0 tests/test_tpu_kernels.py -v
 # 2b. on-chip Geweke of the fused GGS kernel (also covered by the pytest
 # target above; kept addressable standalone for artifact regeneration)
 # 3. the FULL TPU measurement matrix (every single-chip row)
@@ -84,7 +84,7 @@ run bench python bench.py
 # 6. the FULL CPU test suite incl. the slow tier (the default `pytest -q`
 # is the fast tier only — round-3 VERDICT item 7; nothing is lost because
 # this step runs the slow statistical chains)
-run pytest_full env PYTHONPATH=/root/repo python -m pytest tests/ -q -m "not tpu"
+run pytest_full env PYTHONPATH=/root/repo python -m pytest tests/ -q -m "not tpu"  # inherits -n 2
 
 if [ $FAILED -ne 0 ]; then
   echo "=== REVALIDATION FAILED (see logs in $OUT) ==="

@@ -57,3 +57,12 @@ def synthetic_corpus():
     return Corpus.from_token_lists(docs, vocab,
                                    labels=[str(d % num_topics)
                                            for d in range(num_docs)])
+
+
+# Persistent XLA compile cache for the CPU test tier: the fast tier is
+# compile-dominated (hundreds of distinct jitted step functions), and the
+# cache turns every repeat edit-validate run warm. Cold-run behaviour is
+# unchanged.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

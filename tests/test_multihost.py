@@ -61,6 +61,7 @@ sys.stdout.flush()
 """
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_two_process_distributed_ggs(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

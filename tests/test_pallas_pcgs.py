@@ -495,6 +495,7 @@ def test_streamed_vmem_gate_counts_k_temps():
         4096, 128, 128, 1024, num_word_tables=2) > budget
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_streamed_sweep_ktiled_count_semantics():
     """The K-TILED streamed chunk body (kpad >= KTILE_MIN: probs staged
     through the [kpad, 128] bf16 scratch, per-tile table/word selects,
@@ -526,6 +527,7 @@ def test_streamed_sweep_ktiled_count_semantics():
     assert np.array_equal(table_out[K, :c.num_docs], doc_mask)
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_streamed_sweep_ktiled_draw_distribution():
     """Chi-square of the K-TILED body's draws against the exact PCGS
     conditional at K = KTILE_MIN: the tiled inverse-CDF runs with
@@ -555,6 +557,7 @@ def test_streamed_sweep_ktiled_draw_distribution():
     assert sps.chi2.sf(chi2, len(exp) - 1) > 1e-4, (obs, exp)
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_streamed_sweep_ktiled_collapsed_and_support():
     """Tiled body, collapsed (ADLDA live-count) mode: counts conserve and
     the live N_kw output equals an exact recount of the returned z; with

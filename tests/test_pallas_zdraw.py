@@ -155,6 +155,7 @@ def test_zdraw_kernel_distribution_interpret():
     assert sps.chi2.sf(chi2, K - 1) > 1e-4, (obs, p * D)
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_xla_fallback_segmentation_invariant(monkeypatch):
     """The segmented fallback (large-K memory bound) draws the SAME z as the
     monolithic formulation: uniforms are drawn over the global token axis

@@ -203,6 +203,7 @@ def test_sharded_schemes_in_registry(mesh8, synthetic_corpus):
         create_model(_vcfg(scheme="bogus"))
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_vocab_sharded_determinism(mesh8, synthetic_corpus):
     """Fixed-key determinism holds across runs of the multi-chip sampler
     (the sharded analogue of TestBetweenProcessInitialization.java:23)."""
@@ -263,6 +264,7 @@ def test_sharded_pcgs_in_registry(mesh8, synthetic_corpus):
     assert int(np.asarray(m.state.nkw).sum()) == synthetic_corpus.num_tokens
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_interleave_permutation_balances_zipf(mesh8):
     """Zipf-headed vocabularies defeat contiguous-window balancing (the
     head lands in window 0); the frequency-interleaved relabeling deals
@@ -310,6 +312,7 @@ def test_interleave_permutation_balances_zipf(mesh8):
     np.testing.assert_array_equal(np.asarray(model.state.nkw), ref)
 
 
+@pytest.mark.slow  # round-5 fast-tier budget: full coverage lives in the slow tier / on-chip revalidation
 def test_vocab_sharded_ndk_i16_guard(mesh8, synthetic_corpus):
     """The int16 n_dk psum engages only when every doc is shorter than
     int16 max (per-shard partials and their sum are bounded by doc
