@@ -457,7 +457,7 @@ def main(argv=None):
             m7e.sample(60)
             ll_mh = float(_mll7e(m7e.state.ndk, m7e._nkw_kv(),
                                  m7e.get_alpha(), m7e.get_beta()))
-            m7e.sample(140)    # to 200 iterations — the plateau reading
+            m7e.sample(140)    # to 200 its (NOT a plateau: see LARGEK_QUALITY.json)
             ll_mh200 = float(_mll7e(m7e.state.ndk, m7e._nkw_kv(),
                                     m7e.get_alpha(), m7e.get_beta()))
             del m7e

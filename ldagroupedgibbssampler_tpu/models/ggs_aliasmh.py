@@ -38,22 +38,30 @@ updates whose per-token cost is O(1) *in K*:
 Each density/target evaluation costs ONE 8-byte row gather from packed
 [.,2] tables ((phi,N_kw) by w*K+k and (theta,n_dk) by d*K+k) — 7
 gathers/token/round, near the floor for a valid MH on this target.
-Measured (benchmarks/alias_mh_probe.py + BENCH_MATRIX row 7e, v5e-1,
-20NG shapes): the sweep runs ~15M tokens/s *independent of K*
+Measured (benchmarks/alias_mh_probe.py + BENCH_MATRIX rows 7e/7f,
+v5e-1, 20NG shapes): the sweep runs ~15M tokens/s *independent of K*
 (K=1000..16384); full iterations at K=4096: 7.53M tok/s (1 round-pair)
-— 2.15x the dense spalias row (3.52M), just under dense GGS (8.1M)
-whose cost keeps growing with K while this stays flat — with the
-theta/phi Dirichlet draws, not the z-draw, dominating at K >= 8192
-(where the dense fused kernels no longer compile and this scheme is
-the only sublinear path). Below K≈2000 the dense fused kernels win;
-this scheme is the LARGE-K option.
+— 2.15x the dense spalias row (3.52M), just under dense GGS (8.1M).
+THE CROSSOVER OF RECORD IS K=8192: at K <= 4096 the dense fused
+kernels win on throughput AND on held-out quality (the model-LL lead
+this scheme shows at K=4096 is transient concentration, not predictive
+quality — dense GGS is 426 nats / 4.8 sigma BETTER held-out at matched
+iterations and protocol; PERF.md "Large-K quality resolution",
+LARGEK_QUALITY.json). From K=8192 the dense kernels no longer compile
+(kpad gate), the XLA fallback is ~10x slower, and this scheme is the
+recommended z-step, with the theta/phi Dirichlet draws, not the sweep,
+dominating the iteration (row 7f).
 
 Chain validity: each sweep is [theta | n_d] exact, [z | theta, phi] one
 or more MH rounds leaving p(z|theta,phi,w) invariant, [phi | z] exact —
-the composition targets the same joint as GGS with slower per-sweep
-mixing (`aliasmh_rounds` trades throughput for mixing; the reference's
-LightLDA uses the same economy). Geweke-validated in
-tests/test_geweke.py::test_geweke_ggs_aliasmh.
+the composition targets the same joint as GGS; the MH z-step is a
+weaker per-sweep kernel than the exact draw (`aliasmh_rounds` trades
+throughput for per-sweep mixing; the reference's LightLDA uses the same
+economy), though its transient DYNAMICS concentrate model LL faster —
+without better held-out quality (PERF.md "Large-K quality resolution").
+Geweke-validated in tests/test_geweke.py::test_geweke_ggs_aliasmh and
+(asymmetric alpha + negative control)
+test_geweke_ggs_aliasmh_asym_alpha.
 """
 
 from __future__ import annotations

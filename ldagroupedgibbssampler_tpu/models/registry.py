@@ -19,7 +19,10 @@ SCHEMES = {
     "ggs_aliasmh": ("ggs_aliasmh", "LDAGroupedGibbsSamplerAliasMH",
                     "GGS with O(1)-per-token alias-MH z-draws — the "
                     "sublinear large-K mode (LightLDA-style count "
-                    "proposals on the grouped target)."),
+                    "proposals on the grouped target). Recommended at "
+                    "K >= 8192, where the dense fused kernels stop "
+                    "compiling; at K <= 4096 scheme 'ggs' is faster "
+                    "AND better held-out (PERF.md large-K resolution)."),
     "adlda": ("adlda", "ADLDA",
               "Approximate Distributed LDA. ADLDA by Newman et al. (2009)."),
     "pcgs": ("pcgs", "LDAPartiallyCollapsedGibbsSampler",

@@ -24,9 +24,14 @@ idea (count-based word/doc proposals, 7 packed gathers/token/round, the
 TPU-feasible form of the alias draw) reaches only ~6-9M tokens/s at
 K=1000-4096 because TPU scalar-gather throughput (~8-10 ns/element) makes
 its per-token constant ~150-220 ns — MORE than the dense kernels' Θ(K)
-MXU work at every K the reference targets (the measured crossover sits
-past K≈16384, where the theta/phi Dirichlet draws dominate the iteration
-anyway). Large-K throughput is instead earned on the dense path: bf16x3
+MXU work at every K this PCGS family compiles at. THE crossover of
+record is K=8192 (PERF.md "Large-K quality resolution"): it is set by
+the dense fused kernels' kpad<=4096 compile gate, not by gather
+economics — below it the dense path wins throughput and held-out
+quality; past it `ggs_aliasmh` (the GGS-family realization — the PCGS
+family's live n_dk makes the MH form infeasible here) is the
+recommended scheme. Large-K throughput in-family is earned on the dense
+path: bf16x3
 one-hot selects + the positive-support last-nonzero skip
 (ops/pallas_pcgs.py::SELECT_PRECISION, round-4 MFU table in PERF.md).
 """
