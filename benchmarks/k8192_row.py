@@ -58,20 +58,26 @@ def _dirichlet_only_ms(model, iters=6):
 
     st = model.state
 
-    def body(c, k):
-        th = model._theta_update(k, st, None)
-        ph = model._sample_phi(k, st.nkw, st.beta, None, st.phi)
-        return c + th[0, 0] + ph[0, 0], None
+    # state arrays travel as ARGUMENTS — closing over them embeds them
+    # as HLO constants and the remote-compile upload exceeds the
+    # tunnel's request-size limit at K=8192 (HTTP 413)
+    def run_keys(keys, state):
+        def body(c, k):
+            th = model._theta_update(k, state, None)
+            ph = model._sample_phi(k, state.nkw, state.beta, None,
+                                   state.phi)
+            return c + th[0, 0] + ph[0, 0], None
+        return jax.lax.scan(body, jnp.float32(0.0), keys)[0]
+
+    f = jax.jit(run_keys)
 
     def timed(n):
-        f = jax.jit(lambda keys: jax.lax.scan(body, jnp.float32(0.0),
-                                              keys)[0])
         ks = jax.random.split(jax.random.key(0), n)
-        _ = float(f(ks))
+        _ = float(f(ks, st))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = float(f(ks))
+            _ = float(f(ks, st))
             best = min(best, time.perf_counter() - t0)
         return best
     return (timed(3 * iters) - timed(iters)) / (2 * iters) * 1000.0
