@@ -48,9 +48,10 @@ this scheme shows at K=4096 is transient concentration, not predictive
 quality — dense GGS is 426 nats / 4.8 sigma BETTER held-out at matched
 iterations and protocol; PERF.md "Large-K quality resolution",
 LARGEK_QUALITY.json). From K=8192 the dense kernels no longer compile
-(kpad gate), the XLA fallback is ~10x slower, and this scheme is the
-recommended z-step, with the theta/phi Dirichlet draws, not the sweep,
-dominating the iteration (row 7f).
+(kpad gate), the segmented XLA fallback measures 0.41M tok/s vs this
+scheme's 5.51M (13.3x), and this scheme is the recommended z-step, with
+the theta/phi Dirichlet draws at ~49% of the 245.7 ms iteration
+(row 7f).
 
 Chain validity: each sweep is [theta | n_d] exact, [z | theta, phi] one
 or more MH rounds leaving p(z|theta,phi,w) invariant, [phi | z] exact —
