@@ -11,7 +11,7 @@ given theta/phi, so the whole sweep is bulk XLA with no kernel):
   word step: k* = z_entry[uniform same-TYPE token] w.p. n_w/(n_w+K bh),
              else uniform; q(k) = (N_kw + bh)/(n_w + K bh)
   doc step:  k* = z_entry[uniform same-DOC token] w.p. L_d/(L_d+aSum),
-             else uniform; q(k) = (n_dk + alpha)/(L_d + aSum)
+             else uniform; q(k) = (n_dk + aSum/K)/(L_d + aSum)
   accept: min(1, p(k*) q(z) / (p(z) q(k*)))  [valid MH per token]
 
 (phi, nkw) and (theta, ndk) are packed as [*, 2] rows so every density/
@@ -26,10 +26,13 @@ Measured round 4 (v5e-1, N=1.35M): the packed 7-gather sweep runs
 gathers ~8-10 ns/row); naive 28-gather and hoisted 13-gather versions
 measured 294/152 ms vs the packed 90 ms — gather count is the whole
 game. Full iterations add the theta/phi Dirichlet draws (58 ms at
-K=4096, 214 ms at 16384), which dominate beyond K~8192. The dense MXU
-kernels win below K≈2000 (GGS 28.3M at K=1000); the shipped scheme
-`ggs_aliasmh` wins past it (7.57M vs spalias 3.52M at K=4096,
-BENCH_MATRIX 7e). See PERF.md "Sublinear large-K draw".
+K=4096, 214 ms at 16384), which reach ~half the iteration at K=8192
+(BENCH_MATRIX 7f: 119.7 of 245.7 ms). The crossover of record is
+K=8192: the dense MXU kernels win on throughput AND held-out quality
+wherever they compile (kpad <= 4096 — GGS 28.3M at K=1000, 8.1M at
+K=4096); from K=8192 `ggs_aliasmh` is 13.3x the segmented XLA fallback
+(5.51M vs 0.41M, row 7f). See PERF.md "Sublinear large-K draw" and
+"Large-K quality resolution".
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
          python benchmarks/alias_mh_probe.py
