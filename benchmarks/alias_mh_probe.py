@@ -25,9 +25,12 @@ Measured round 4 (v5e-1, N=1.35M): the packed 7-gather sweep runs
 ~66 ns/token (~15M tokens/s) FLAT in K through K=16384 (TPU scalar
 gathers ~8-10 ns/row); naive 28-gather and hoisted 13-gather versions
 measured 294/152 ms vs the packed 90 ms — gather count is the whole
-game. Full iterations add the theta/phi Dirichlet draws (58 ms at
-K=4096, 214 ms at 16384), which reach ~half the iteration at K=8192
-(BENCH_MATRIX 7f: 119.7 of 245.7 ms). The crossover of record is
+game. Full iterations add the theta/phi Dirichlet draws — 45.9 ms at
+K=8192 with the samplers' rbg keys, linear in K·(D+V) (an earlier
+revision quoted 58/214 ms at K=4096/16384 and "~half the iteration":
+threefry-key timings, ~2.5× the rbg chain's real cost) — so the z side
+(gathers + packing + count rebuilds) stays the dominant ~81% of a full
+iteration (BENCH_MATRIX 7f: 199.8 of 245.8 ms). The crossover of record is
 K=8192: the dense MXU kernels win on throughput AND held-out quality
 wherever they compile (kpad <= 4096 — GGS 28.3M at K=1000, 8.1M at
 K=4096); from K=8192 `ggs_aliasmh` is 13.3x the segmented XLA fallback
@@ -141,7 +144,9 @@ def gamma_draws(key, ndk, nkw, alpha_s, beta):
 
 
 def bench(kk, rounds):
-    key = jax.random.key(0)
+    # rbg keys — what the samplers run (LDAConfig.prng_impl default);
+    # threefry keys inflate the RNG-bound gamma timings ~2.5x
+    key = jax.random.key(0, impl="rbg")
     z = jnp.asarray(rng.integers(0, kk, N).astype(np.int32))
     w = jnp.asarray(tokens)
     dd = jnp.asarray(doc_ids)

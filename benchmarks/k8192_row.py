@@ -72,7 +72,14 @@ def _dirichlet_only_ms(model, iters=6):
     f = jax.jit(run_keys)
 
     def timed(n):
-        ks = jax.random.split(jax.random.key(0), n)
+        # the MODEL'S key impl (rbg), not the threefry default: with
+        # threefry keys the RNG-bound gamma kernel measures ~2.5x slower
+        # than the chain actually runs — the same measurement-bug class
+        # as the historical phase_timing inflation (PERF.md "Gamma phase
+        # at 3.7 ms" note). Caught round 5: the first 7f split recorded
+        # 119.7 ms "Dirichlet" where the rbg chain really spends ~47 ms.
+        ks = jax.random.split(
+            jax.random.key(0, impl=model.config.prng_impl), n)
         _ = float(f(ks, st))
         best = 1e9
         for _ in range(3):

@@ -50,8 +50,8 @@ iterations and protocol; PERF.md "Large-K quality resolution",
 LARGEK_QUALITY.json). From K=8192 the dense kernels no longer compile
 (kpad gate), the segmented XLA fallback measures 0.41M tok/s vs this
 scheme's 5.51M (13.3x), and this scheme is the recommended z-step, with
-the theta/phi Dirichlet draws at ~49% of the 245.7 ms iteration
-(row 7f).
+the theta/phi Dirichlet draws at ~19% of the 245.8 ms iteration and
+the MH-gather/packing/count side at ~81% (row 7f, rbg-key timings).
 
 Chain validity: each sweep is [theta | n_d] exact, [z | theta, phi] one
 or more MH rounds leaving p(z|theta,phi,w) invariant, [phi | z] exact —
