@@ -29,12 +29,13 @@ game. Full iterations add the theta/phi Dirichlet draws — 45.9 ms at
 K=8192 with the samplers' rbg keys, linear in K·(D+V) (an earlier
 revision quoted 58/214 ms at K=4096/16384 and "~half the iteration":
 threefry-key timings, ~2.5× the rbg chain's real cost) — so the z side
-(gathers + packing + count rebuilds) stays the dominant ~81% of a full
-iteration (BENCH_MATRIX 7f: 199.8 of 245.8 ms). The crossover of record is
+(gathers + packing + canonical-scatter count rebuilds) stays the
+dominant ~78% of a full iteration (BENCH_MATRIX 7f: 165.1 of
+211.0 ms). The crossover of record is
 K=8192: the dense MXU kernels win on throughput AND held-out quality
 wherever they compile (kpad <= 4096 — GGS 28.3M at K=1000, 8.1M at
-K=4096); from K=8192 `ggs_aliasmh` is 13.3x the segmented XLA fallback
-(5.51M vs 0.41M, row 7f). See PERF.md "Sublinear large-K draw" and
+K=4096); from K=8192 `ggs_aliasmh` is 15.5x the segmented XLA fallback
+(6.41M vs 0.41M, row 7f). See PERF.md "Sublinear large-K draw" and
 "Large-K quality resolution".
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \

@@ -49,9 +49,10 @@ quality — dense GGS is 426 nats / 4.8 sigma BETTER held-out at matched
 iterations and protocol; PERF.md "Large-K quality resolution",
 LARGEK_QUALITY.json). From K=8192 the dense kernels no longer compile
 (kpad gate), the segmented XLA fallback measures 0.41M tok/s vs this
-scheme's 5.51M (13.3x), and this scheme is the recommended z-step, with
-the theta/phi Dirichlet draws at ~19% of the 245.8 ms iteration and
-the MH-gather/packing/count side at ~81% (row 7f, rbg-key timings).
+scheme's 6.41M (15.5x), and this scheme is the recommended z-step, with
+the theta/phi Dirichlet draws at ~22% of the 211.0 ms iteration and
+the MH-gather/packing/count side at ~78% (row 7f, rbg-key timings;
+counts rebuilt by canonical-token scatter in this regime — see _step).
 
 Chain validity: each sweep is [theta | n_d] exact, [z | theta, phi] one
 or more MH rounds leaving p(z|theta,phi,w) invariant, [phi | z] exact —
@@ -296,9 +297,24 @@ class LDAGroupedGibbsSamplerAliasMH(LDAGroupedGibbsSampler):
             max(1, cfg.aliasmh_rounds))
         z = jnp.where(self.mf, z_can[self._mh_can_of_slot], 0)
 
-        # (3) counts — same windowed count kernels as GGS
-        nkw = self._count_nkw(z)
-        ndk = self._count_ndk(z)
+        # (3) counts. In the scheme's home regime (kpad > 4096, where
+        # blocked_label_counts is gated off the Pallas kernel onto its
+        # XLA scatter fallback) scatter from the CANONICAL token arrays
+        # instead: the blocked layout is ~2.2x padded at vspan=128 and
+        # scatter is per-update bound, so the canonical rebuild measures
+        # 28.1 ms vs 63.0 for both tables at 20NG K=8192 (round 5; a
+        # K-tiled Pallas count body was tried first and measured 32 ms
+        # per table — MXU-roofline-bound, see PERF.md negative result).
+        # At kpad <= 4096 the fused count kernels win; keep them.
+        kpad = max(128, ((K + 127) // 128) * 128)
+        if jax.default_backend() == "tpu" and kpad > 4096:
+            nkw = jnp.zeros((self.corpus.num_types, K),
+                            jnp.int32).at[self._mh_w, z_can].add(1)
+            ndk = jnp.zeros((self.corpus.num_docs, K),
+                            jnp.int32).at[self._mh_d, z_can].add(1)
+        else:
+            nkw = self._count_nkw(z)
+            ndk = self._count_ndk(z)
 
         # (4) phi
         phi = self._sample_phi(k_phi, nkw, state.beta, type_mask,

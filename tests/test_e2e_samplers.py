@@ -77,6 +77,28 @@ def test_aliasmh_packed_unpacked_identical(synthetic_corpus):
     np.testing.assert_array_equal(zs[0], zs[1])
 
 
+def test_aliasmh_canonical_counts_equal_blocked(synthetic_corpus):
+    """The canonical-token scatter rebuild used in the scheme's home
+    regime (kpad > 4096 on TPU — the blocked path's XLA-fallback zone,
+    where the 2.2x block padding makes padded scatter 2.2x the cost)
+    must equal the blocked windowed rebuild exactly. This pins the
+    slot<->canonical index plumbing (_mh_slot_of_can / _mh_w / _mh_d)
+    the branch relies on; the branch itself was equality-verified
+    on-chip at 20NG K=8192 (round 5, PERF.md negative-result note)."""
+    import jax.numpy as jnp
+
+    m = _run("ggs_aliasmh", synthetic_corpus, iterations=3)
+    z = m.state.z
+    z_can = z[m._mh_slot_of_can]
+    K = m.config.topics
+    nkw_can = np.asarray(jnp.zeros((m.corpus.num_types, K), jnp.int32)
+                         .at[m._mh_w, z_can].add(1))
+    ndk_can = np.asarray(jnp.zeros((m.corpus.num_docs, K), jnp.int32)
+                         .at[m._mh_d, z_can].add(1))
+    np.testing.assert_array_equal(nkw_can, np.asarray(m._count_nkw(z)))
+    np.testing.assert_array_equal(ndk_can, np.asarray(m._count_ndk(z)))
+
+
 def test_hdp_activates_topics(synthetic_corpus):
     """HDP grows from hdp_start_topics toward the 3 planted topics."""
     cfg = LDAConfig(scheme="ppu_hdplda_all_topics", topics=10, alpha=1.0,
