@@ -9,9 +9,11 @@ footprint (~7 GB aliasmh, ~5 GB dense-fallback, v5e 16 GB).
 
 Arms:
   --arm aliasmh  scheme ggs_aliasmh, K=8192, alpha=50/K: full-iteration
-      throughput, the z-sweep vs theta/phi-Dirichlet split (the probe
-      said the Dirichlet draws dominate here — the split is the
-      evidence), and the 60/200-iteration model-LL trajectory sanity.
+      throughput, the z-side vs theta/phi-Dirichlet split (the round-4
+      probe claimed the Dirichlet draws dominate here; that was a
+      threefry-key timing artifact — with the chain's rbg keys the
+      split of record is ~22% Dirichlet / ~78% z side, row 7f), and
+      the 60/200-iteration model-LL trajectory sanity.
   --arm dense    scheme ggs, K=8192: the dense path past its
       _FUSED_ZDRAW_KPAD_MAX=4096 gate — records which mode actually ran
       (expected: the segmented XLA fallback) and its throughput, i.e.
